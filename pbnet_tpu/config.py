@@ -1,0 +1,141 @@
+"""Configuration: same flag schema and defaults as the reference
+(/root/reference/config/config.py:10-67 for training,
+/root/reference/config/config_test.py for evaluation), plus TPU-specific
+static-shape and mesh settings.
+
+Exposed both as a dataclass (programmatic use) and via ``get_parser()`` for
+CLI parity with the reference entry points.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class StaticShapes:
+    """Static capacities that fix every XLA-compiled shape.
+
+    The reference runs fully dynamic shapes; on TPU we bucket-and-pad.  The
+    crop cap (max_crop_p=300k, /root/reference/config/config.py:29) bounds the
+    training worst case; eval scenes are padded per-bucket.
+    """
+
+    # points per device batch (train: batch_size scenes incl. mixup, cropped)
+    point_cap: int = 400_000
+    # stride-1..16 voxel caps as fractions of point_cap are derived below
+    voxel_caps: Tuple[int, ...] = (160_000, 60_000, 20_000, 7_000, 2_500)
+    # clustering
+    cluster_cap: int = 384  # max clusters (proposals) per batch
+    # local-scene (stage 2) flat point budget and voxel cap
+    local_point_cap: int = 600_000
+    local_voxel_caps: Tuple[int, ...] = (300_000, 110_000, 40_000, 14_000, 5_000)
+    # stage-3 (ScoreNet) point/voxel caps
+    score_voxel_caps: Tuple[int, ...] = (160_000, 60_000, 20_000, 7_000, 2_500)
+    # max GT instances per batch (score loss IoU matrix)
+    instance_cap: int = 192
+    # banded neighbor window for clustering (columns per row chunk)
+    cluster_band: int = 8192
+
+
+@dataclass
+class Config:
+    # ---- task / schedule (config.py:14-22) ----
+    task: str = "train"
+    manual_seed: int = 22
+    epochs: int = 520
+    num_works: int = 4
+    pretrain: str = ""
+    save_freq: int = 4
+    logpath: str = "./log/config_1/"
+    cache: bool = False
+    validation: bool = True
+
+    # ---- dataset (config.py:25-32) ----
+    dataset: str = "Scannet"
+    data_root: str = "datasets/scannetv2"
+    voxel_size: float = 0.02
+    scale_size: float = 1.0
+    sem_num: int = 20
+    max_crop_p: int = 300_000
+    min_crop_p: int = 50_000
+    batch_size: int = 4
+    batch_size_v: int = 1
+
+    # ---- optimizer (config.py:35-40) ----
+    lr: float = 0.001
+    optimizer: str = "Adam"
+    step_epoch: int = 50
+    multiplier: float = 0.5
+    momentum: float = 0.9
+    weight_decay: float = 0.0001
+
+    # ---- clustering (config.py:43-46) ----
+    cluster_epoch: int = 128
+    min_pts: int = 31
+    radius: float = 0.04
+    method: int = 0
+
+    # ---- score net (config.py:48-50) ----
+    fg_thresh: float = 0.95
+    bg_thresh: float = 0.20
+    fg_score: float = -1.0
+
+    # ---- test (config.py:53-56) ----
+    TEST_NMS_THRESH: float = 0.10
+    TEST_SCORE_THRESH: float = 0.07
+    TEST_NPOINT_THRESH: int = 101
+    test_epoch: int = 392
+
+    # ---- distributed (config.py:59-64); TPU: devices on a 1-D data mesh ----
+    local_rank: int = 0
+    node_rank: int = 0
+    nodes: int = 1
+    sync_bn: bool = True
+    num_devices: int = 0  # 0 = all visible devices
+
+    # ---- TPU static shapes ----
+    shapes: StaticShapes = field(default_factory=StaticShapes)
+
+    # derived
+    dist: bool = False
+    world_size: int = 1
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def test_config() -> Config:
+    """Eval defaults (/root/reference/config/config_test.py): epochs=128,
+    cluster_epoch=-1 so the instance branch is always active, batch 1,
+    pretrain dir ./pretrain/."""
+    return Config(
+        task="test",
+        epochs=128,
+        logpath="./pretrain/",
+        max_crop_p=400_000,
+        batch_size=1,
+        lr=1e-4,
+        cluster_epoch=-1,
+    )
+
+
+def get_parser(test: bool = False, argv=None) -> Config:
+    """CLI front-end mirroring the reference's argparse surface."""
+    base = test_config() if test else Config()
+    p = argparse.ArgumentParser(description="3D instance segmentation (TPU)")
+    for f in dataclasses.fields(Config):
+        if f.name in ("shapes", "dist", "world_size"):
+            continue
+        default = getattr(base, f.name)
+        if f.type in ("bool", bool):
+            p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=default)
+        else:
+            p.add_argument(f"--{f.name}", type=type(default), default=default)
+    args = p.parse_args(argv)
+    cfg = base.replace(**{k: v for k, v in vars(args).items()})
+    return cfg

@@ -1,0 +1,354 @@
+"""PBNet: divide-and-conquer 3D instance segmentation, TPU-native.
+
+Mirrors /root/reference/network/PBNet.py:18-347 stage by stage, but with every
+data-dependent Python loop replaced by static-shape vectorized ops:
+
+stage 1  backbone MinkUNet34C(6->32) + semantic/offset heads, voxel->point
+         gather (reference :113-141)
+stage 2  per-class gating + density binarization + clustering (ops/cluster),
+         cluster K-NN local scenes assembled with a ragged gather, re-voxelized
+         on device, D_Unet MinkUNet14A(34->32) mask branch (reference
+         :143-252; the reference's per-class/per-batch/per-cluster Python
+         loops become one batched pass)
+stage 3  proposal re-voxelization + ScoreNet MinkUNet34C(32->32), global
+         avg+max pooled IoU score head (reference :254-280)
+
+All capacities come from config.StaticShapes; every stage reports overflow
+counts instead of silently dropping work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StaticShapes
+from ..core import coords as ck
+from ..core import quantize as qz
+from ..core import topology as tp
+from ..nn import minkunet, sparse_ops
+from ..nn.modules import MLPHead, SparseLinear
+from ..ops import cluster as cluster_ops
+
+# per-class mean point counts from SoftGroup/HAIS
+# (/root/reference/network/PBNet.py:33-34)
+COUNT_MEAN = np.array(
+    [-1.0, -1.0, 3917.0, 12056.0, 2303.0, 8331.0, 3948.0, 3166.0, 5629.0,
+     11719.0, 1003.0, 3317.0, 4912.0, 10221.0, 3889.0, 4136.0, 2120.0, 945.0,
+     3967.0, 2589.0],
+    np.float32,
+)
+
+K_MAX = 6  # neighbor clusters per local scene (/root/reference/network/PBNet.py:35)
+N_SLOTS = K_MAX + 1
+MASK_THRESH = 0.45  # get_proposal threshold (/root/reference/network/PBNet.py:317)
+LOCAL_VOXEL = 0.02  # local-scene voxel size (/root/reference/network/PBNet.py:236)
+
+
+def make_level0(coords4, feats, valid, stride=1):
+    """Sort voxel coords into canonical key order, carrying features along."""
+    hi, lo = ck.pack(coords4, valid)
+    hi_s, lo_s, coords_s, feats_s = ck.sort_by_key(hi, lo, coords4, feats)
+    level = tp.SparseLevel(
+        coords=coords_s, hi=hi_s, lo=lo_s, valid=hi_s != ck.SENTINEL,
+        count=jnp.sum(valid.astype(jnp.int32)), stride=stride,
+    )
+    feats_s = jnp.where(level.valid[:, None], feats_s, 0.0)
+    return level, feats_s
+
+
+class PBNet(nn.Module):
+    shapes: StaticShapes
+    sem_num: int = 20
+    voxel_size: float = 0.02
+    scale_size: float = 1.0
+    radius: float = 0.04
+    min_pts: int = 31
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        ax = self.axis_name
+        self.MEUnet = minkunet.mink_unet(32, "MinkUNet34C", axis_name=ax)
+        self.D_Unet = minkunet.mink_unet(32, "MinkUNet14A", axis_name=ax)
+        self.score_Unet = minkunet.mink_unet(32, "MinkUNet34C", axis_name=ax)
+        self.linear_sem = MLPHead(16, self.sem_num, axis_name=ax)
+        self.linear_offset = MLPHead(16, 3, axis_name=ax)
+        self.linear_binary = MLPHead(16, 1, axis_name=ax, final_sigmoid=True)
+        self.linear_IOU_feat = MLPHead(32, 32, axis_name=ax)
+        self.linear_IOU = MLPHead(16, 1, axis_name=ax, final_sigmoid=True)
+
+    # ------------------------------------------------------------------
+    def backbone(self, batch, train: bool):
+        """Stage 1 (/root/reference/network/PBNet.py:113-141)."""
+        sh = self.shapes
+        level0, feats = make_level0(
+            batch["vox_coords"], batch["vox_feats"], batch["vox_valid"]
+        )
+        topo = tp.build_unet_topology(level0, list(sh.voxel_caps))
+        point_feat_v = self.MEUnet(topo, feats, train)  # (V, 32)
+        v0 = topo.levels[0].valid
+        sem_score_v = self.linear_sem(point_feat_v, v0, train)  # (V, 20)
+        offset_v = self.linear_offset(point_feat_v, v0, train)  # (V, 3)
+
+        pvalid = batch["point_valid"]
+        v2p = tp.point_to_voxel_map(
+            topo.levels[0], batch["xyz"], batch["point_batch"], pvalid,
+            self.voxel_size,
+        )
+        ok = (v2p >= 0) & pvalid
+
+        def gather(x):
+            g = jnp.take(x, jnp.where(ok, v2p, 0), axis=0)
+            return jnp.where(ok[:, None], g, 0.0)
+
+        point_feat_p = gather(point_feat_v)
+        sem_score_p = gather(sem_score_v)
+        sem_soft_p = jax.nn.softmax(sem_score_p, axis=-1)
+        offset_p = gather(offset_v)
+        sem_pred_p = jnp.where(ok, jnp.argmax(sem_score_p, axis=-1), -1).astype(
+            jnp.int32
+        )
+        return {
+            "topo": topo,
+            "point_feat_p": point_feat_p,
+            "sem_pred_score_p": sem_score_p,
+            "sem_soft_p": sem_soft_p,
+            "offset_pred_p": offset_p,
+            "sem_pred_p": sem_pred_p,
+            "point_ok": ok,
+            "v2p": v2p,
+        }
+
+    # ------------------------------------------------------------------
+    def instance_stage(self, batch, bb, with_labels: bool, train: bool):
+        """Stages 2+3 (/root/reference/network/PBNet.py:143-280)."""
+        sh = self.shapes
+        n = batch["xyz"].shape[0]
+        xyz = batch["xyz"]
+        pbatch = batch["point_batch"]
+        sem_p = bb["sem_pred_p"]
+        ok = bb["point_ok"]
+        count_mean = jnp.asarray(COUNT_MEAN)
+
+        # ---- per-class gate: total class count >= 0.05*count_mean
+        # (/root/reference/network/PBNet.py:156) ----
+        sem_clip = jnp.clip(sem_p, 0, self.sem_num - 1)
+        class_count = jax.ops.segment_sum(
+            ok.astype(jnp.int32), jnp.where(ok, sem_clip, self.sem_num),
+            num_segments=self.sem_num + 1,
+        )[: self.sem_num]
+        class_ok = class_count.astype(jnp.float32) >= 0.05 * count_mean
+        fg = ok & (sem_p >= 2) & class_ok[sem_clip]
+
+        # ---- clustering (replaces pbnet_ops.cluster, :176-179) ----
+        shifted = xyz + bb["offset_pred_p"]
+        res = cluster_ops.binary_cluster(
+            shifted, xyz, sem_p, pbatch, fg,
+            radius=self.radius, min_pts=self.min_pts, count_mean=count_mean,
+            cluster_cap=sh.cluster_cap, band=sh.cluster_band,
+        )
+        C = sh.cluster_cap
+        cid = res.cluster_id  # (N,)
+        csem = res.cluster_sem
+        cbatch = res.cluster_batch
+        csize = res.cluster_size
+        cvalid = res.cluster_valid
+
+        # ---- cluster K-NN within (sem, batch) groups (:196-201) ----
+        group = jnp.where(cvalid, csem * 64 + cbatch, -1)
+        same = (group[:, None] == group[None, :]) & cvalid[:, None] & cvalid[None, :]
+        d = res.centers[:, None, :] - res.centers[None, :, :]
+        dist = jnp.sum(d * d, axis=-1)
+        dist = jnp.where(same, dist, jnp.inf)
+        # neighbors sorted by distance; column 0 is self (distance 0)
+        knn = jnp.argsort(dist, axis=1)[:, :N_SLOTS].astype(jnp.int32)
+        group_size = jnp.sum(same, axis=1)  # clusters in my group (incl. self)
+        para_k = jnp.minimum(group_size - 1, K_MAX)  # (:196)
+
+        # ---- GT label per cluster: mode of instance labels over members
+        # (torch.mode -> smallest most-frequent value, :205) ----
+        if with_labels:
+            ins = batch["ins_label"]  # (N,) int32, -100 = ignore
+            I = sh.instance_cap
+            member = cid >= 0
+            ins_slot = jnp.where(ins == -100, 0, jnp.clip(ins, 0, I - 1) + 1)
+            flat = jnp.where(member, cid * (I + 1) + ins_slot, C * (I + 1))
+            counts = jax.ops.segment_sum(
+                member.astype(jnp.int32), flat, num_segments=C * (I + 1) + 1
+            )[:-1].reshape(C, I + 1)
+            mode_slot = jnp.argmax(counts, axis=1)  # slot 0 (=-100) wins ties
+            gt_label_c = jnp.where(mode_slot == 0, -100, mode_slot - 1).astype(
+                jnp.int32
+            )
+            skip = cvalid & (gt_label_c == -100)  # (:206)
+        else:
+            gt_label_c = jnp.full((C,), -100, jnp.int32)
+            skip = jnp.zeros((C,), bool)
+
+        scene_c = cvalid & ~skip  # clusters that emit a local scene
+        pid_of_cluster = jnp.where(
+            scene_c, jnp.cumsum(scene_c.astype(jnp.int32)) - 1, -1
+        )
+        num_proposals = jnp.sum(scene_c.astype(jnp.int32))
+
+        # ---- local-scene slot table (:203-221) ----
+        expand = scene_c & (
+            csize.astype(jnp.float32)
+            > 0.2 * count_mean[jnp.clip(csem, 0, self.sem_num - 1)]
+        ) & (para_k > 0)  # (:209)
+        slot_idx = jnp.arange(N_SLOTS)
+        slot_valid = jnp.where(
+            slot_idx[None, :] == 0,
+            scene_c[:, None],
+            expand[:, None] & (slot_idx[None, :] - 1 < para_k[:, None]),
+        )
+        pk = para_k.astype(jnp.float32)
+        peak = 0.5 * ((pk[:, None] + 1.0) - (slot_idx[None, :].astype(jnp.float32) - 1.0)) / (
+            pk[:, None] + 1.0
+        )  # peak_v[k_i] for slots >=1 (:198)
+        weight = jnp.where(slot_idx[None, :] == 0, 1.0, peak)
+        src_cluster = jnp.where(slot_valid, knn, 0)
+
+        # ---- ragged gather: flatten (cluster, slot) segments ----
+        # member list: points sorted by (cid, original index)
+        cid_key = jnp.where(cid >= 0, cid, C).astype(jnp.int32)
+        pt_idx = jnp.arange(n, dtype=jnp.int32)
+        _, member_pts = jax.lax.sort((cid_key, pt_idx), num_keys=1, is_stable=True)
+        cluster_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(csize)[:-1].astype(jnp.int32)]
+        )
+
+        seg_len = jnp.where(slot_valid, csize[src_cluster], 0).reshape(-1)  # (C*7,)
+        cum = jnp.cumsum(seg_len)
+        total = cum[-1]  # scene points actually needed
+        T = sh.local_point_cap
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        segj = jnp.searchsorted(cum, t_idx, side="right").astype(jnp.int32)
+        segj_c = jnp.clip(segj, 0, seg_len.shape[0] - 1)
+        seg_start = cum[segj_c] - seg_len[segj_c]
+        within = t_idx - seg_start
+        t_ok = t_idx < jnp.minimum(total, T)
+        own_c = segj_c // N_SLOTS  # proposal owner cluster
+        sslot = segj_c % N_SLOTS
+        sc = src_cluster[own_c, sslot]
+        src_local = jnp.clip(cluster_start[sc] + within, 0, n - 1)
+        src_pt = member_pts[src_local]  # global point index per scene point
+        scene_w = weight[own_c, sslot]
+        scene_pid = jnp.where(t_ok, pid_of_cluster[own_c], -1)
+
+        # ---- scene features: [feat32 | class softmax | weight] (:194,230) ----
+        own_sem = jnp.clip(csem[own_c], 0, self.sem_num - 1)
+        sem_sf = bb["sem_soft_p"][src_pt, own_sem]
+        feat32 = bb["point_feat_p"][src_pt]
+        scene_feat = jnp.concatenate(
+            [feat32, sem_sf[:, None], scene_w[:, None].astype(jnp.float32)], axis=1
+        )
+        scene_feat = jnp.where(t_ok[:, None], scene_feat, 0.0)
+        scene_xyz = jnp.where(t_ok[:, None], xyz[src_pt], 0.0)
+
+        # GT mask over scene points (:223-227)
+        if with_labels:
+            src_ins = batch["ins_label"][src_pt]
+            gt_mask = jnp.where(
+                src_ins == -100, -1.0,
+                (src_ins == gt_label_c[own_c]).astype(jnp.float32),
+            )
+            gt_mask = jnp.where(t_ok, gt_mask, -1.0)
+        else:
+            gt_mask = jnp.full((T,), -1.0)
+
+        # ---- D_Unet over re-voxelized local scenes (:236-250) ----
+        q2 = qz.quantize_device(
+            scene_xyz / LOCAL_VOXEL, scene_pid, t_ok, sh.local_voxel_caps[0]
+        )
+        lv2 = tp.level_from_quantize(q2, sh.local_voxel_caps[0], 1)
+        feats2 = jnp.take(scene_feat, q2["voxel2point"], axis=0, mode="fill", fill_value=0)
+        feats2 = jnp.where(lv2.valid[:, None], feats2, 0.0)
+        topo2 = tp.build_unet_topology(lv2, list(sh.local_voxel_caps))
+        d_feat = self.D_Unet(topo2, feats2, train)
+        mask_v = self.linear_binary(d_feat, topo2.levels[0].valid, train)[:, 0]
+        p2v2 = q2["point2voxel"]
+        mask_score = jnp.where(
+            t_ok & (p2v2 >= 0), mask_v[jnp.clip(p2v2, 0, None)], 0.0
+        )
+
+        # ---- get_proposal: threshold + drop null proposals (:317-347) ----
+        kept = t_ok & (mask_score > MASK_THRESH) & (scene_pid >= 0)
+        P = C  # proposal capacity = cluster capacity
+        kept_per_pid = jax.ops.segment_sum(
+            kept.astype(jnp.int32), jnp.where(kept, scene_pid, P),
+            num_segments=P + 1,
+        )[:P]
+        pid_alive = kept_per_pid > 0
+        pid2 = jnp.where(pid_alive, jnp.cumsum(pid_alive.astype(jnp.int32)) - 1, -1)
+        final_pid = jnp.where(kept, pid2[jnp.clip(scene_pid, 0, P - 1)], -1)
+        num_final = jnp.sum(pid_alive.astype(jnp.int32))
+
+        # proposal semantics: predicted class of the owner cluster (all member
+        # points share it), matching pred_sem[first point] in the eval driver
+        # (/root/reference/eval_map.py:64-65)
+        cluster_of_pid = jnp.zeros((P + 1,), jnp.int32).at[
+            jnp.where(scene_c, pid_of_cluster, P)
+        ].set(jnp.arange(C, dtype=jnp.int32))
+        sem_of_pid = csem[cluster_of_pid[:P]]
+        sem_of_pid2 = jnp.zeros((P + 1,), jnp.int32).at[
+            jnp.where(pid_alive, pid2, P)
+        ].set(sem_of_pid)[:P]
+
+        # ---- ScoreNet (:254-279) ----
+        sxyz = scene_xyz * self.scale_size / self.voxel_size
+        q3 = qz.quantize_device(
+            jnp.where(kept[:, None], sxyz, 0.0),
+            jnp.where(kept, final_pid, -1), kept, sh.score_voxel_caps[0],
+        )
+        lv3 = tp.level_from_quantize(q3, sh.score_voxel_caps[0], 1)
+        feats3 = jnp.take(feat32, q3["voxel2point"], axis=0, mode="fill", fill_value=0)
+        feats3 = jnp.where(lv3.valid[:, None], feats3, 0.0)
+        topo3 = tp.build_unet_topology(lv3, list(sh.score_voxel_caps))
+        iou_feat = self.score_Unet(topo3, feats3, train)
+        iou_feat = self.linear_IOU_feat(iou_feat, topo3.levels[0].valid, train)
+        vb3 = topo3.levels[0].coords[:, 0]
+        gmax = sparse_ops.global_pool(iou_feat, vb3, topo3.levels[0].valid, P, "max")
+        gavg = sparse_ops.global_pool(iou_feat, vb3, topo3.levels[0].valid, P, "avg")
+        gfeat = gmax + gavg
+        pvalid2 = jnp.arange(P) < num_final
+        clt_scores = self.linear_IOU(gfeat, pvalid2, train)[:, 0]
+
+        return {
+            "cluster": res,
+            "num_proposals": num_proposals,
+            "scene_total": total,
+            "scene_overflow": jnp.maximum(total - T, 0),
+            # mask branch (pre-threshold scene points)
+            "mask_scores": mask_score,
+            "gt_mask": gt_mask,
+            "scene_valid": t_ok,
+            "scene_pid": scene_pid,
+            "scene_src": src_pt,
+            # proposals (post-threshold)
+            "prop_point_src": src_pt,  # global point id per scene point
+            "prop_point_pid": final_pid,  # -1 where dropped
+            "prop_point_kept": kept,
+            "prop_point_mask_score": jnp.where(kept, mask_score, 0.0),
+            "num_final_proposals": num_final,
+            "prop_sem": sem_of_pid2,
+            "prop_valid": pvalid2,
+            "clt_scores": clt_scores,
+        }
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch, with_instances: bool, with_labels: bool, train: bool):
+        bb = self.backbone(batch, train)
+        ret = {
+            "sem_pred_p": bb["sem_pred_p"],
+            "sem_pred_score_p": bb["sem_pred_score_p"],
+            "offset_pred_p": bb["offset_pred_p"],
+            "point_ok": bb["point_ok"],
+        }
+        if with_instances:
+            ret.update(self.instance_stage(batch, bb, with_labels, train))
+        return ret

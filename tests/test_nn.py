@@ -1,0 +1,165 @@
+"""Tests for sparse NN modules: dense-conv equivalence, UNet smoke + grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbnet_tpu.core import topology as tp
+from pbnet_tpu.nn import minkunet, modules, sparse_ops
+
+
+def dense_grid_level(side, cap_extra=5):
+    coords = np.array(
+        [(0, x, y, z) for x in range(side) for y in range(side) for z in range(side)],
+        np.int32,
+    )
+    n = coords.shape[0]
+    cap = n + cap_extra
+    cpad = np.zeros((cap, 4), np.int32)
+    cpad[:n] = coords
+    valid = np.arange(cap) < n
+    lv = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1)
+    return lv, n
+
+
+class TestGatherConv:
+    def test_matches_dense_conv3d(self, rng):
+        side, cin, cout, k = 5, 3, 4, 3
+        lv, n = dense_grid_level(side)
+        km = tp.conv_map(lv, lv, k)
+        feats = np.zeros((lv.cap, cin), np.float32)
+        dense = rng.randn(side, side, side, cin).astype(np.float32)
+        c = np.asarray(lv.coords)
+        for i in range(n):
+            feats[i] = dense[c[i, 1], c[i, 2], c[i, 3]]
+        w = rng.randn(k**3, cin, cout).astype(np.float32)
+
+        y = np.asarray(
+            sparse_ops.gather_conv(jnp.asarray(feats), km, jnp.asarray(w), lv.valid)
+        )
+        # dense oracle with zero padding
+        offs = tp.kernel_offsets(k)
+        expect = np.zeros((side, side, side, cout), np.float32)
+        pad = np.pad(dense, ((k, k), (k, k), (k, k), (0, 0)))
+        for j, (dx, dy, dz) in enumerate(offs):
+            expect += np.einsum(
+                "xyzc,co->xyzo",
+                pad[k + dx : k + dx + side, k + dy : k + dy + side, k + dz : k + dz + side],
+                w[j],
+            )
+        for i in range(n):
+            np.testing.assert_allclose(
+                y[i], expect[c[i, 1], c[i, 2], c[i, 3]], rtol=2e-4, atol=2e-4
+            )
+        # pad rows zero
+        assert np.all(y[n:] == 0)
+
+    def test_strided_conv_then_transpose_shapes(self, rng):
+        lv, n = dense_grid_level(4)
+        lv2 = tp.downsample(lv, 2, lv.cap)
+        km_d = tp.conv_map(lv2, lv, 2)
+        km_u = tp.conv_transpose_map(lv, lv2, 2)
+        feats = jnp.asarray(rng.randn(lv.cap, 6).astype(np.float32))
+        feats = feats * lv.valid[:, None]
+        w = jnp.asarray(rng.randn(8, 6, 7).astype(np.float32))
+        y2 = sparse_ops.gather_conv(feats, km_d, w, lv2.valid)
+        assert int(jnp.sum(jnp.any(y2 != 0, axis=1))) == int(lv2.count)
+        wu = jnp.asarray(rng.randn(8, 7, 6).astype(np.float32))
+        y1 = sparse_ops.gather_conv(y2, km_u, wu, lv.valid)
+        assert y1.shape == (lv.cap, 6)
+        assert bool(jnp.all(y1[~np.asarray(lv.valid)] == 0))
+
+    def test_global_pool(self, rng):
+        feats = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+        batch = jnp.asarray(np.array([0, 0, 0, 1, 1, 2, 2, 2, 0, 0], np.int32))
+        valid = jnp.asarray(np.array([1, 1, 1, 1, 1, 1, 1, 1, 0, 0], bool))
+        mx = np.asarray(sparse_ops.global_pool(feats, batch, valid, 4, "max"))
+        av = np.asarray(sparse_ops.global_pool(feats, batch, valid, 4, "avg"))
+        f = np.asarray(feats)
+        np.testing.assert_allclose(mx[0], f[:3].max(0), rtol=1e-6)
+        np.testing.assert_allclose(av[1], f[3:5].mean(0), rtol=1e-6)
+        assert np.all(mx[3] == 0) and np.all(av[3] == 0)
+
+
+class TestBatchNorm:
+    def test_masked_stats_ignore_pads(self, rng):
+        x = rng.randn(20, 3).astype(np.float32)
+        valid = np.arange(20) < 12
+        x[~valid] = 0
+        bn = modules.MaskedBatchNorm()
+        vars_ = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(valid), True)
+        y, updates = bn.apply(
+            vars_, jnp.asarray(x), jnp.asarray(valid), True,
+            mutable=["batch_stats"],
+        )
+        y = np.asarray(y)
+        np.testing.assert_allclose(y[:12].mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(y[:12].std(0), 1, atol=1e-2)
+        assert np.all(y[12:] == 0)
+        # running stats moved toward batch stats with momentum 0.1
+        rm = np.asarray(updates["batch_stats"]["mean"])
+        np.testing.assert_allclose(rm, 0.1 * x[:12].mean(0), rtol=1e-4, atol=1e-6)
+
+    def test_eval_uses_running_stats(self, rng):
+        x = rng.randn(8, 2).astype(np.float32)
+        valid = np.ones(8, bool)
+        bn = modules.MaskedBatchNorm()
+        vars_ = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(valid), True)
+        y = bn.apply(vars_, jnp.asarray(x), jnp.asarray(valid), False)
+        # fresh stats: mean 0 var 1 -> identity (gamma=1, beta=0)
+        np.testing.assert_allclose(np.asarray(y), x, rtol=1e-4, atol=1e-5)
+
+
+class TestMinkUNet:
+    def _topo(self, rng, n=200, extent=24):
+        c = np.unique(
+            np.stack(
+                [
+                    rng.randint(0, 2, n),
+                    rng.randint(0, extent, n),
+                    rng.randint(0, extent, n),
+                    rng.randint(0, extent, n),
+                ],
+                1,
+            ).astype(np.int32),
+            axis=0,
+        )
+        caps = [c.shape[0] + 8] * 5
+        cpad = np.zeros((caps[0], 4), np.int32)
+        cpad[: c.shape[0]] = c
+        valid = np.arange(caps[0]) < c.shape[0]
+        lv = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), caps[0], 1)
+        return tp.build_unet_topology(lv, caps)
+
+    def test_forward_and_grad(self, rng):
+        topo = self._topo(rng)
+        model = minkunet.mink_unet(13, "MinkUNet14A")
+        feats = jnp.asarray(rng.randn(topo.levels[0].cap, 6).astype(np.float32))
+        feats = feats * topo.levels[0].valid[:, None]
+        variables = model.init(jax.random.PRNGKey(0), topo, feats, True)
+        out, _ = model.apply(variables, topo, feats, True, mutable=["batch_stats"])
+        assert out.shape == (topo.levels[0].cap, 13)
+        assert bool(jnp.all(out[~np.asarray(topo.levels[0].valid)] == 0))
+        assert np.isfinite(np.asarray(out)).all()
+
+        def loss_fn(params):
+            y, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                topo, feats, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+    def test_mini_unet_forward(self, rng):
+        topo = self._topo(rng, n=80, extent=10)
+        model = minkunet.mink_unet(1, "Mini_Unet")
+        feats = jnp.asarray(rng.randn(topo.levels[0].cap, 34).astype(np.float32))
+        feats = feats * topo.levels[0].valid[:, None]
+        variables = model.init(jax.random.PRNGKey(1), topo, feats, True)
+        out, _ = model.apply(variables, topo, feats, True, mutable=["batch_stats"])
+        assert out.shape == (topo.levels[0].cap, 1)
+        assert np.isfinite(np.asarray(out)).all()
