@@ -70,7 +70,7 @@ def assign_instances_for_scan(scene_name: str, pred_info: dict, gt_ids: np.ndarr
     (semantics of /root/reference/tools/eval.py:207-270)."""
     gt2pred = get_gt_instances(gt_ids)
     pred2gt = {label: [] for label in CLASS_LABELS}
-    void_mask = np.logical_not(np.in1d(gt_ids // 1000, VALID_CLASS_IDS))
+    void_mask = np.logical_not(np.isin(gt_ids // 1000, VALID_CLASS_IDS))
 
     num_pred = 0
     for i in range(pred_info["label_id"].shape[0]):
