@@ -26,15 +26,16 @@ class StaticShapes:
 
     # points per device batch (train: batch_size scenes incl. mixup, cropped)
     point_cap: int = 400_000
-    # stride-1..16 voxel caps as fractions of point_cap are derived below
-    voxel_caps: Tuple[int, ...] = (160_000, 60_000, 20_000, 7_000, 2_500)
+    # stride-1..16 voxel caps; ratios measured on surface scans at 2 cm:
+    # s2 ~ 42% of s1, s4 ~ 26% of s2, s8 ~ 24% of s4, s16 ~ 22% of s8
+    voxel_caps: Tuple[int, ...] = (160_000, 72_000, 20_000, 5_500, 1_600)
     # clustering
     cluster_cap: int = 384  # max clusters (proposals) per batch
     # local-scene (stage 2) flat point budget and voxel cap
     local_point_cap: int = 600_000
-    local_voxel_caps: Tuple[int, ...] = (300_000, 110_000, 40_000, 14_000, 5_000)
+    local_voxel_caps: Tuple[int, ...] = (300_000, 130_000, 36_000, 10_000, 3_000)
     # stage-3 (ScoreNet) point/voxel caps
-    score_voxel_caps: Tuple[int, ...] = (160_000, 60_000, 20_000, 7_000, 2_500)
+    score_voxel_caps: Tuple[int, ...] = (160_000, 72_000, 20_000, 5_500, 1_600)
     # max GT instances per batch (score loss IoU matrix)
     instance_cap: int = 192
     # banded neighbor window for clustering (columns per row chunk)
@@ -96,6 +97,10 @@ class Config:
     nodes: int = 1
     sync_bn: bool = True
     num_devices: int = 0  # 0 = all visible devices
+
+    # ---- module freezing (reference fix_module map,
+    # /root/reference/network/PBNet.py:91-101) ----
+    fix_module: Tuple[str, ...] = ()
 
     # ---- TPU static shapes ----
     shapes: StaticShapes = field(default_factory=StaticShapes)

@@ -85,18 +85,27 @@ def lookup(
     undefined where ``found`` is False).
     """
     n = sorted_hi.shape[0]
-    lo_idx = jnp.zeros(query_hi.shape, jnp.int32)
-    hi_idx = jnp.full(query_hi.shape, n, jnp.int32)
-    # ceil(log2(n)) + 1 iterations cover the whole range.
+    # ceil(log2(n)) + 1 iterations cover the whole range; a fori_loop keeps
+    # the HLO small (an unrolled search at every conv-map call site made
+    # compile time explode).
     iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    for _ in range(iters):
+
+    def body(_, carry):
+        lo_idx, hi_idx = carry
         mid = (lo_idx + hi_idx) // 2
         mid_c = jnp.minimum(mid, n - 1)
         mhi = sorted_hi[mid_c]
         mlo = sorted_lo[mid_c]
         less = (mhi < query_hi) | ((mhi == query_hi) & (mlo < query_lo))
-        lo_idx = jnp.where(less, mid + 1, lo_idx)
-        hi_idx = jnp.where(less, hi_idx, mid)
+        return (
+            jnp.where(less, mid + 1, lo_idx),
+            jnp.where(less, hi_idx, mid),
+        )
+
+    lo_idx, hi_idx = jax.lax.fori_loop(
+        0, iters, body,
+        (jnp.zeros(query_hi.shape, jnp.int32), jnp.full(query_hi.shape, n, jnp.int32)),
+    )
     pos = jnp.minimum(lo_idx, n - 1)
     found = (
         (lo_idx < n)

@@ -234,3 +234,31 @@ class Dataset:
         with cf.ThreadPoolExecutor(workers) as ex:
             for f in [ex.submit(self.val_batch, i) for i in idxs]:
                 yield f.result()
+
+    # ---------------- test split (benchmark submission) ----------------
+
+    def test_batch(self, idx):
+        """One test scene as 3 TTA rotated copies, no labels (the reference's
+        testLoader references a testMerge that was never written —
+        /root/reference/datasets/scannetv2/dataset_preprocess.py:68; this is
+        the working equivalent using the valMerge TTA flow)."""
+        fn = self.test_file_list[idx]
+        s = self._load_scene(fn, with_labels=False, with_sup=True)
+        rng = np.random.RandomState(0)
+        scenes = []
+        for i in range(3):
+            xyz, rgb, nl = augment.data_augment(
+                s["xyz"].copy(), s["rgb"].copy(), s["nl"], i, rng,
+            )
+            n = xyz.shape[0]
+            sem = np.full(n, -100, np.int64)
+            ins = np.full(n, -100, np.int64)
+            scenes.append((fn, xyz, rgb, nl, sem, ins))
+        batch = self._collate(scenes)
+        batch["sup"] = s["sup"]
+        batch["fn"] = fn
+        return batch
+
+    def test_loader(self):
+        for i in range(len(self.test_file_list)):
+            yield self.test_batch(i)

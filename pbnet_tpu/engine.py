@@ -1,0 +1,354 @@
+"""Training / evaluation engine: the TPU-native equivalent of the
+reference's Distributed_training + train_epoch + eval_epoch
+(/root/reference/train.py:36-388) and Single_card_testing
+(/root/reference/eval_map.py:161-197).
+
+Single process drives the whole device mesh (vs. one process per GPU +
+NCCL); per-iteration console meters/ETA and per-epoch checkpointing keep the
+reference's operational UX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data.dataset import Dataset
+from .eval_pipeline import eval_scene_instances
+from .models.pbnet import PBNet
+from .parallel import mesh as mesh_lib
+from .parallel.train_step import (
+    TrainState, cosine_lr_after_step, make_eval_step, make_optimizer,
+    make_train_step,
+)
+from .tools import eval_protocol, log as log_tools, metrics
+
+
+class ScalarWriter:
+    """TensorBoard-equivalent scalar logging: JSONL always, TB if available."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        self.f = open(os.path.join(logdir, "scalars.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(logdir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag, value, step):
+        self.f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def close(self):
+        self.f.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def build_model(cfg: Config, multi_device: bool) -> PBNet:
+    return PBNet(
+        shapes=cfg.shapes,
+        sem_num=cfg.sem_num,
+        voxel_size=cfg.voxel_size,
+        scale_size=cfg.scale_size,
+        radius=cfg.radius,
+        min_pts=cfg.min_pts,
+        axis_name=mesh_lib.DATA_AXIS if (multi_device and cfg.sync_bn) else None,
+    )
+
+
+def init_state(model, cfg, sample_batch, seed=0):
+    dev_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
+                 if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+    init_fn = jax.jit(
+        lambda key, b: model.init(
+            key, b, with_instances=True, with_labels=True, train=False
+        )
+    )
+    variables = init_fn(jax.random.PRNGKey(seed), dev_batch)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(variables["params"])
+    return TrainState(variables["params"], variables["batch_stats"], opt_state), tx
+
+
+def device_batch(batch: dict) -> dict:
+    drop = {"num_points", "num_voxels", "num_instances", "fn", "sup"}
+    return {k: np.asarray(v) for k, v in batch.items() if k not in drop}
+
+
+def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = None,
+          max_iters: int | None = None):
+    """Full training driver with auto-resume (reference semantics:
+    backbone-only through cluster_epoch, then the full pipeline)."""
+    logger = log_tools.get_logger(cfg)
+    writer = ScalarWriter(cfg.logpath)
+    logger.info(str(cfg))
+
+    dataset = dataset or Dataset(cfg)
+    m = mesh_lib.make_mesh(cfg.num_devices)
+    ndev = len(m.devices.flatten())
+    if len(dataset.train_file_list) < ndev * cfg.batch_size:
+        # fewer scenes than one global step consumes -> shrink the mesh
+        ndev = max(1, len(dataset.train_file_list) // cfg.batch_size)
+        m = mesh_lib.make_mesh(ndev)
+    multi = ndev > 1
+    model = build_model(cfg, multi)
+    logger.info(f"devices: {ndev} mesh: {m}")
+
+    # init from one sample batch
+    ids0 = dataset.train_epoch_ids(0)[0]
+    sample = dataset.train_batch(ids0, np.random.RandomState(0))
+    state, tx = init_state(model, cfg, device_batch(sample), cfg.manual_seed)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"#Model parameters: {n_params}")
+
+    # auto-resume (/root/reference/train.py:373-375)
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state}
+    restored, start_epoch, ckfile = log_tools.checkpoint_restore(
+        template, cfg.logpath, cfg.pretrain
+    )
+    state = TrainState(restored["params"], restored["batch_stats"], restored["opt_state"])
+    logger.info(
+        f"Restore from {ckfile}" if ckfile else f"Start from epoch {start_epoch}"
+    )
+
+    steps = {}
+    iter_time = metrics.AverageMeter()
+    total_iters = 0
+    end_epoch = min(cfg.epochs, max_epochs or cfg.epochs)
+    for epoch in range(start_epoch, end_epoch + 1):
+        with_instances = epoch > cfg.cluster_epoch
+        if with_instances not in steps:
+            steps[with_instances] = make_train_step(model, cfg, m, tx, with_instances)
+        step_fn = steps[with_instances]
+        lr = cosine_lr_after_step(cfg.lr, epoch, cfg.step_epoch, cfg.epochs)
+
+        batches = dataset.train_epoch_ids(epoch)
+        # group per-device stacks of ndev host batches
+        nsteps = len(batches) // ndev
+        am = {}
+        t_epoch = time.time()
+        loader = dataset.train_loader(epoch)
+        buf = []
+        it = 0
+        for batch in loader:
+            buf.append(device_batch(batch))
+            if len(buf) < ndev:
+                continue
+            t0 = time.time()
+            stack = mesh_lib.shard_batch(m, buf)
+            buf = []
+            state, aux = step_fn(state, stack, lr)
+            aux = {k: float(v) for k, v in aux.items()}
+            dt = time.time() - t0
+            iter_time.update(dt)
+            it += 1
+            total_iters += 1
+            for k, v in aux.items():
+                am.setdefault(k, metrics.AverageMeter()).update(v)
+            remain = (nsteps - it) + nsteps * (end_epoch - epoch)
+            eta = remain * iter_time.avg
+            sys.stdout.write(
+                f"epoch: {epoch}/{cfg.epochs} iter: {it}/{nsteps} "
+                f"loss: {aux['loss']:.4f}({am['loss'].avg:.4f}) "
+                f"iter_time: {dt:.2f}({iter_time.avg:.2f}) "
+                f"remain_time: {int(eta//3600):02d}:{int(eta%3600//60):02d}:{int(eta%60):02d}\n"
+            )
+            if max_iters and total_iters >= max_iters:
+                break
+        logger.info(
+            f"epoch: {epoch}/{cfg.epochs}, train loss: {am['loss'].avg:.4f}, "
+            f"time: {time.time()-t_epoch:.1f}s"
+        )
+        for k, v in am.items():
+            writer.add_scalar(k + "_train", v.avg, epoch)
+        writer.add_scalar("train/learning_rate", lr, epoch)
+        ck = log_tools.checkpoint_save(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state},
+            cfg.logpath, epoch, cfg.save_freq,
+        )
+        logger.info(f"Saving {ck}")
+
+        if cfg.validation and (epoch % 4 == 0 or epoch == cfg.epochs):
+            try:
+                evaluate(cfg, model, state, dataset, epoch, logger, writer)
+            except FileNotFoundError as e:
+                logger.info(f"validation skipped: {e}")
+        if max_iters and total_iters >= max_iters:
+            break
+    writer.close()
+    return state
+
+
+def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None,
+             max_scenes: int | None = None):
+    """Validation: semantic mIoU + (past cluster_epoch) instance AP
+    (/root/reference/train.py:123-304, eval_map.py:40-158)."""
+    with_instances = epoch > cfg.cluster_epoch
+    emit = logger.info if logger else print
+
+    inter_m = np.zeros(cfg.sem_num)
+    union_m = np.zeros(cfg.sem_num)
+    target_m = np.zeros(cfg.sem_num)
+    matches = {}
+    gt_dir = os.path.join(cfg.data_root, "val_gt")
+
+    # single-device eval path: jit once
+    @jax.jit
+    def fwd(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            with_instances=with_instances, with_labels=False, train=False,
+        )
+
+    n_scenes = len(dataset.val_file_list)
+    if max_scenes:
+        n_scenes = min(n_scenes, max_scenes)
+    for i in range(n_scenes):
+        batch = dataset.val_batch(i)
+        dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        ret = fwd(state.params, state.batch_stats, dev)
+        n = batch["num_points"]
+        sem_pred = np.asarray(ret["sem_pred_p"])[:n]
+        sem_lab = batch["sem_label"][:n]
+        inter, union, target = metrics.intersection_and_union(
+            sem_pred, sem_lab, cfg.sem_num
+        )
+        inter_m += inter
+        union_m += union
+        target_m += target
+
+        if with_instances:
+            pred_info = eval_scene_instances(ret, n, batch["sup"], cfg)
+            if pred_info is None:
+                print("no cluster")
+                continue
+            gt_file = os.path.join(gt_dir, batch["fn"] + ".txt")
+            gt_ids = eval_protocol.load_gt_ids(gt_file)
+            gt2pred, pred2gt = eval_protocol.assign_instances_for_scan(
+                batch["fn"], pred_info, gt_ids
+            )
+            matches[batch["fn"]] = {"gt": gt2pred, "pred": pred2gt}
+            print(f"complete {i}, has {pred_info['mask'].shape[0]} clts")
+
+    iou_class = inter_m / (union_m + 1e-10)
+    acc_class = inter_m / (target_m + 1e-10)
+    miou, macc = float(np.mean(iou_class)), float(np.mean(acc_class))
+    allacc = float(inter_m.sum() / (target_m.sum() + 1e-10))
+    emit(f"mIoU/mAcc/allAcc {miou:.4f}/{macc:.4f}/{allacc:.4f}.")
+    result = {"mIoU": miou, "mAcc": macc, "allAcc": allacc}
+    if writer:
+        writer.add_scalar("val/mIOU_eval", miou, epoch)
+        writer.add_scalar("val/mAcc_eval", macc, epoch)
+        writer.add_scalar("val/allACC_eval", allacc, epoch)
+    if with_instances and matches:
+        aps = eval_protocol.evaluate_matches(matches)
+        avgs = eval_protocol.compute_averages(aps)
+        eval_protocol.print_results(avgs, logger)
+        result.update(
+            mAP=float(avgs["all_ap"]), AP50=float(avgs["all_ap_50%"]),
+            AP25=float(avgs["all_ap_25%"]),
+        )
+        if writer:
+            writer.add_scalar("val/mAP", avgs["all_ap"], epoch)
+            writer.add_scalar("val/AP_50", avgs["all_ap_50%"], epoch)
+            writer.add_scalar("val/AP_25", avgs["all_ap_25%"], epoch)
+    return result
+
+
+def evaluate_pretrained(cfg: Config, max_scenes=None):
+    """Standalone eval with auto-resumed checkpoint (eval_map.py driver)."""
+    logger = log_tools.get_logger(cfg)
+    dataset = Dataset(cfg)
+    model = build_model(cfg, multi_device=False)
+    sample = dataset.val_batch(0)
+    state, _ = init_state(model, cfg, device_batch(sample), cfg.manual_seed)
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state}
+    restored, start_epoch, ckfile = log_tools.checkpoint_restore(
+        template, cfg.logpath, cfg.pretrain
+    )
+    state = TrainState(restored["params"], restored["batch_stats"], restored["opt_state"])
+    logger.info(
+        f"Restore from {ckfile}" if ckfile else f"Start from epoch {start_epoch}"
+    )
+    return evaluate(cfg, model, state, dataset, epoch=start_epoch, logger=logger,
+                    max_scenes=max_scenes)
+
+
+def write_submission(result_dir: str, scene_name: str, pred_info: dict):
+    """ScanNet benchmark submission writer — the reference ships this
+    commented out (/root/reference/eval_map.py:142-155); here it works."""
+    os.makedirs(os.path.join(result_dir, "predicted_masks"), exist_ok=True)
+    lines = []
+    for pi in range(pred_info["mask"].shape[0]):
+        mask_name = f"predicted_masks/{scene_name}_{pi:03d}.txt"
+        lines.append(
+            f"{mask_name} {int(pred_info['label_id'][pi])} "
+            f"{float(pred_info['conf'][pi]):.4f}"
+        )
+        np.savetxt(
+            os.path.join(result_dir, mask_name), pred_info["mask"][pi], fmt="%d"
+        )
+    with open(os.path.join(result_dir, scene_name + ".txt"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def predict_testset(cfg: Config, max_scenes=None):
+    """Test-split inference -> benchmark submission files under
+    result/epoch{..}/test (the reference's result-dir naming,
+    /root/reference/eval_map.py:28)."""
+    logger = log_tools.get_logger(cfg)
+    dataset = Dataset(cfg)
+    model = build_model(cfg, multi_device=False)
+    sample = dataset.test_batch(0)
+    state, _ = init_state(model, cfg, device_batch(sample), cfg.manual_seed)
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state}
+    restored, epoch, ckfile = log_tools.checkpoint_restore(
+        template, cfg.logpath, cfg.pretrain
+    )
+    state = TrainState(restored["params"], restored["batch_stats"],
+                       restored["opt_state"])
+    result_dir = os.path.join(
+        "result",
+        f"epoch{cfg.test_epoch}_nmst{cfg.TEST_NMS_THRESH}_scoret"
+        f"{cfg.TEST_SCORE_THRESH}_npointt{cfg.TEST_NPOINT_THRESH}",
+        "test",
+    )
+
+    @jax.jit
+    def fwd(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            with_instances=True, with_labels=False, train=False,
+        )
+
+    n_scenes = len(dataset.test_file_list)
+    if max_scenes:
+        n_scenes = min(n_scenes, max_scenes)
+    for i in range(n_scenes):
+        batch = dataset.test_batch(i)
+        dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        ret = fwd(state.params, state.batch_stats, dev)
+        pred_info = eval_scene_instances(ret, batch["num_points"], batch["sup"], cfg)
+        if pred_info is None:
+            logger.info(f"{batch['fn']}: no proposals")
+            continue
+        write_submission(result_dir, batch["fn"], pred_info)
+        logger.info(f"{batch['fn']}: {pred_info['mask'].shape[0]} instances")
+    return result_dir

@@ -76,10 +76,10 @@ def _group_l1_sort(shifted, group, valid):
 def _search_group_l1(g_s, l1_s, qg, ql1, side):
     """Vectorized binary search for (group, l1) pairs in the sorted order."""
     n = g_s.shape[0]
-    lo = jnp.zeros(qg.shape, jnp.int32)
-    hi = jnp.full(qg.shape, n, jnp.int32)
     iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    for _ in range(iters):
+
+    def body(_, carry):
+        lo, hi = carry
         mid = (lo + hi) // 2
         mid_c = jnp.minimum(mid, n - 1)
         mg, ml = g_s[mid_c], l1_s[mid_c]
@@ -87,8 +87,12 @@ def _search_group_l1(g_s, l1_s, qg, ql1, side):
             less = (mg < qg) | ((mg == qg) & (ml < ql1))
         else:
             less = (mg < qg) | ((mg == qg) & (ml <= ql1))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (jnp.zeros(qg.shape, jnp.int32), jnp.full(qg.shape, n, jnp.int32)),
+    )
     return lo
 
 

@@ -67,3 +67,26 @@ class AverageMeter:
         self.sum = self.sum + val * n
         self.count = self.count + n
         self.avg = self.sum / max(self.count, 1e-12)
+
+
+def get_center_scores(dist: np.ndarray, near_thresh=0.3, far_thresh=0.6):
+    """Linear near/far center-distance ramp (/root/reference/tools/
+    mIOU.py:51-65, capability parity — unused by the main path)."""
+    far = dist > far_thresh
+    near = dist < near_thresh
+    k = 1.0 / (far_thresh - near_thresh)
+    b = far_thresh / (far_thresh - near_thresh)
+    return np.where(near, 1.0, np.where(far, 0.0, b - dist * k))
+
+
+def get_gt_dist(instance_info: np.ndarray, ins_label: np.ndarray,
+                gt_instance_idxs: np.ndarray, pred_center: np.ndarray):
+    """Distance between predicted and GT instance centers
+    (/root/reference/tools/mIOU.py:68-74, capability parity)."""
+    valid = ins_label != -100
+    pairs = np.concatenate(
+        [ins_label[valid, None].astype(np.float64), instance_info[valid, :3]], 1
+    )
+    gt_center = np.unique(pairs, axis=0)
+    gt_center = gt_center[gt_instance_idxs][:, 1:]
+    return np.linalg.norm(gt_center - pred_center, axis=1)

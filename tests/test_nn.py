@@ -136,8 +136,13 @@ class TestMinkUNet:
         model = minkunet.mink_unet(13, "MinkUNet14A")
         feats = jnp.asarray(rng.randn(topo.levels[0].cap, 6).astype(np.float32))
         feats = feats * topo.levels[0].valid[:, None]
-        variables = model.init(jax.random.PRNGKey(0), topo, feats, True)
-        out, _ = model.apply(variables, topo, feats, True, mutable=["batch_stats"])
+        variables = jax.jit(
+            lambda t, f: model.init(jax.random.PRNGKey(0), t, f, True)
+        )(topo, feats)
+        apply_fn = jax.jit(
+            lambda v, t, f: model.apply(v, t, f, True, mutable=["batch_stats"])
+        )
+        out, _ = apply_fn(variables, topo, feats)
         assert out.shape == (topo.levels[0].cap, 13)
         assert bool(jnp.all(out[~np.asarray(topo.levels[0].valid)] == 0))
         assert np.isfinite(np.asarray(out)).all()
@@ -149,7 +154,7 @@ class TestMinkUNet:
             )
             return jnp.sum(y**2)
 
-        g = jax.grad(loss_fn)(variables["params"])
+        g = jax.jit(jax.grad(loss_fn))(variables["params"])
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
@@ -159,7 +164,11 @@ class TestMinkUNet:
         model = minkunet.mink_unet(1, "Mini_Unet")
         feats = jnp.asarray(rng.randn(topo.levels[0].cap, 34).astype(np.float32))
         feats = feats * topo.levels[0].valid[:, None]
-        variables = model.init(jax.random.PRNGKey(1), topo, feats, True)
-        out, _ = model.apply(variables, topo, feats, True, mutable=["batch_stats"])
+        variables = jax.jit(
+            lambda t, f: model.init(jax.random.PRNGKey(1), t, f, True)
+        )(topo, feats)
+        out, _ = jax.jit(
+            lambda v, t, f: model.apply(v, t, f, True, mutable=["batch_stats"])
+        )(variables, topo, feats)
         assert out.shape == (topo.levels[0].cap, 1)
         assert np.isfinite(np.asarray(out)).all()

@@ -91,18 +91,22 @@ def model_and_vars():
     rng = np.random.RandomState(7)
     batch, n = synthetic_batch(rng)
     model = PBNet(shapes=TINY)
-    variables = model.init(
-        jax.random.PRNGKey(0), batch, with_instances=True, with_labels=True,
-        train=False,
-    )
+    variables = jax.jit(
+        lambda key, b: model.init(
+            key, b, with_instances=True, with_labels=True, train=False
+        )
+    )(jax.random.PRNGKey(0), batch)
     return model, variables, batch, n
 
 
 class TestBackbone:
     def test_stage1_shapes(self, model_and_vars):
         model, variables, batch, n = model_and_vars
-        ret = model.apply(batch=batch, with_instances=False, with_labels=False,
-                          train=False, variables=variables)
+        ret = jax.jit(
+            lambda v, b: model.apply(
+                v, b, with_instances=False, with_labels=False, train=False
+            )
+        )(variables, batch)
         assert ret["sem_pred_score_p"].shape == (2048, 20)
         assert ret["offset_pred_p"].shape == (2048, 3)
         ok = np.asarray(ret["point_ok"])
@@ -113,8 +117,11 @@ class TestBackbone:
 class TestInstanceStage:
     def _perfect_bb(self, model, variables, batch, n):
         """Stage-1 output with GT semantics and offsets pointing at centers."""
-        ret = model.apply(batch=batch, with_instances=False, with_labels=False,
-                          train=False, variables=variables)
+        ret = jax.jit(
+            lambda v, b: model.apply(
+                v, b, with_instances=False, with_labels=False, train=False
+            )
+        )(variables, batch)
         sem = batch["sem_label"]
         ok = ret["point_ok"]
         centers = batch["inst_info"][:, 0:3]
@@ -135,10 +142,11 @@ class TestInstanceStage:
     def test_two_instances_two_proposals(self, model_and_vars):
         model, variables, batch, n = model_and_vars
         bb = self._perfect_bb(model, variables, batch, n)
-        out = model.apply(
-            variables, batch, bb, True, False,
-            method=PBNet.instance_stage,
-        )
+        out = jax.jit(
+            lambda v, b, s1: model.apply(
+                v, b, s1, True, False, method=PBNet.instance_stage
+            )
+        )(variables, batch, bb)
         # two clusters -> two proposals
         assert int(out["cluster"].num_clusters) == 2
         assert int(out["num_proposals"]) == 2
@@ -173,9 +181,9 @@ class TestInstanceStage:
             loss, aux = L.model_fn(ret, batch, CfgLike(), with_instances=True)
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            variables["params"]
-        )
+        (loss, aux), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(variables["params"])
         assert np.isfinite(float(loss))
         for k, v in aux.items():
             assert np.isfinite(float(v)), k
@@ -184,9 +192,10 @@ class TestInstanceStage:
 
     def test_eval_mode_no_labels(self, model_and_vars):
         model, variables, batch, n = model_and_vars
-        ret = model.apply(
-            variables, batch, with_instances=True, with_labels=False,
-            train=False,
-        )
+        ret = jax.jit(
+            lambda v, b: model.apply(
+                v, b, with_instances=True, with_labels=False, train=False
+            )
+        )(variables, batch)
         # without labels nothing is skipped; proposals == clusters found
         assert int(ret["num_proposals"]) == int(ret["cluster"].num_clusters)

@@ -1,0 +1,159 @@
+"""Training engine tests: sharded train step, LR schedule, checkpoints,
+end-to-end mini training run on fabricated scenes."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pbnet_tpu import engine
+from pbnet_tpu.config import Config, StaticShapes
+from pbnet_tpu.parallel import mesh as mesh_lib
+from pbnet_tpu.parallel.train_step import (
+    TrainState, cosine_lr_after_step, make_optimizer, make_train_step,
+)
+from pbnet_tpu.tools import log as log_tools
+
+from tests.test_data import fabricate_scene
+from pbnet_tpu.data.dataset import Dataset
+from pbnet_tpu.data.decode_scannet import decode_scene, write_val_gt
+
+TINY = StaticShapes(
+    point_cap=2048, voxel_caps=(1024, 512, 256, 128, 64),
+    cluster_cap=16, local_point_cap=2048,
+    local_voxel_caps=(512, 256, 128, 64, 32),
+    score_voxel_caps=(512, 256, 128, 64, 32),
+    instance_cap=16, cluster_band=512,
+)
+
+
+def prepare_dataset(tmp_path, rng, n_scenes=4):
+    scans = str(tmp_path / "scans")
+    out = str(tmp_path / "npy")
+    os.makedirs(out, exist_ok=True)
+    names = []
+    for i in range(n_scenes):
+        nm = f"scene{i:04d}_00"
+        fabricate_scene(scans, nm, rng)
+        decode_scene(os.path.join(scans, nm + "_vh_clean_2.ply"), out, None)
+        names.append(nm)
+    np.savetxt(str(tmp_path / "scannetv2_train.txt"), names, fmt="%s")
+    np.savetxt(str(tmp_path / "scannetv2_val.txt"), names[:1], fmt="%s")
+    np.savetxt(str(tmp_path / "scannetv2_test.txt"), names[:1], fmt="%s")
+    write_val_gt(out, names[:1], str(tmp_path / "val_gt"))
+
+
+def mini_cfg(tmp_path, **kw):
+    base = dict(
+        data_root=str(tmp_path), batch_size=1, max_crop_p=1500, min_crop_p=10,
+        num_works=0, cache=False, shapes=TINY, epochs=4, step_epoch=2,
+        num_devices=1,
+        cluster_epoch=1000, validation=False,
+        logpath=str(tmp_path / "log"),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+class TestSchedule:
+    def test_cosine_lr(self):
+        assert cosine_lr_after_step(1e-3, 1, 50, 520) == 1e-3
+        assert cosine_lr_after_step(1e-3, 49, 50, 520) == 1e-3
+        mid = cosine_lr_after_step(1e-3, (520 + 50) // 2, 50, 520)
+        assert 4e-4 < mid < 6e-4
+        end = cosine_lr_after_step(1e-3, 520, 50, 520)
+        assert end < 2e-6
+
+
+class TestTrainStep:
+    def test_two_device_step_reduces_loss(self, rng, tmp_path):
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        mesh = mesh_lib.make_mesh(2)
+        model = engine.build_model(cfg, multi_device=True)
+        b0 = engine.device_batch(ds.train_batch([0], np.random.RandomState(0)))
+        b1 = engine.device_batch(ds.train_batch([1], np.random.RandomState(1)))
+        state, tx = engine.init_state(model, cfg, b0)
+        step = make_train_step(model, cfg, mesh, tx, with_instances=False)
+        stack = mesh_lib.shard_batch(mesh, [b0, b1])
+        losses = []
+        for _ in range(8):
+            state, aux = step(state, stack, 1e-3)
+            losses.append(float(aux["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]  # overfits two fixed batches
+
+    def test_params_identical_across_devices(self, rng, tmp_path):
+        # grads are pmean'd -> replicated params stay consistent
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        mesh = mesh_lib.make_mesh(2)
+        model = engine.build_model(cfg, multi_device=True)
+        b0 = engine.device_batch(ds.train_batch([0], np.random.RandomState(0)))
+        b1 = engine.device_batch(ds.train_batch([1], np.random.RandomState(1)))
+        state, tx = engine.init_state(model, cfg, b0)
+        step = make_train_step(model, cfg, mesh, tx, with_instances=False)
+        state, _ = step(state, mesh_lib.shard_batch(mesh, [b0, b1]), 1e-3)
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path, rng):
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        model = engine.build_model(cfg, multi_device=False)
+        b0 = engine.device_batch(ds.train_batch([0], np.random.RandomState(0)))
+        state, _ = engine.init_state(model, cfg, b0)
+        d = str(tmp_path / "ck")
+        st = {"params": state.params, "batch_stats": state.batch_stats,
+              "opt_state": state.opt_state}
+        log_tools.checkpoint_save(st, d, 5, save_freq=4)
+        restored, start_epoch, f = log_tools.checkpoint_restore(st, d)
+        assert start_epoch == 6 and f.endswith("000000005.ckpt")
+        a = jax.tree_util.tree_leaves(st["params"])[0]
+        b = jax.tree_util.tree_leaves(restored["params"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_prune_keeps_save_freq_epochs(self, tmp_path, rng):
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        model = engine.build_model(cfg, multi_device=False)
+        b0 = engine.device_batch(ds.train_batch([0], np.random.RandomState(0)))
+        state, _ = engine.init_state(model, cfg, b0)
+        st = {"params": state.params, "batch_stats": state.batch_stats,
+              "opt_state": state.opt_state}
+        d = str(tmp_path / "ck2")
+        for e in range(1, 7):
+            log_tools.checkpoint_save(st, d, e, save_freq=4)
+        files = sorted(os.listdir(d))
+        # epochs 4 (keeper) and 6 (latest); 5 pruned when 6 saved, etc.
+        assert "000000004.ckpt" in files and "000000006.ckpt" in files
+        assert "000000005.ckpt" not in files
+
+
+class TestEngine:
+    def test_mini_training_run_with_eval(self, tmp_path, rng):
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path, epochs=1, validation=False)
+        state = engine.train(cfg, max_epochs=1, max_iters=2)
+        assert state is not None
+        # checkpoint written
+        assert any(f.endswith(".ckpt") for f in os.listdir(cfg.logpath))
+        # scalars logged
+        assert os.path.exists(os.path.join(cfg.logpath, "scalars.jsonl"))
+
+    def test_semantic_eval_runs(self, tmp_path, rng):
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        model = engine.build_model(cfg, multi_device=False)
+        b0 = engine.device_batch(ds.train_batch([0], np.random.RandomState(0)))
+        state, _ = engine.init_state(model, cfg, b0)
+        res = engine.evaluate(cfg, model, state, ds, epoch=1, max_scenes=1)
+        assert 0.0 <= res["mIoU"] <= 1.0
