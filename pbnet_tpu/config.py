@@ -39,7 +39,10 @@ class StaticShapes:
     # max GT instances per batch (score loss IoU matrix)
     instance_cap: int = 192
     # banded neighbor window for clustering (columns per row chunk)
-    cluster_band: int = 8192
+    cluster_band: int = 4096
+    # dense-grid lookup extent for the backbone topology (B, X, Y, Z) in
+    # stride-1 voxel units; None falls back to binary search
+    grid_extent: Optional[Tuple[int, int, int, int]] = (4, 512, 512, 256)
 
 
 @dataclass

@@ -88,16 +88,22 @@ class PBNet(nn.Module):
         level0, feats = make_level0(
             batch["vox_coords"], batch["vox_feats"], batch["vox_valid"]
         )
-        topo = tp.build_unet_topology(level0, list(sh.voxel_caps))
+        topo = tp.build_unet_topology(
+            level0, list(sh.voxel_caps), extent=sh.grid_extent
+        )
         point_feat_v = self.MEUnet(topo, feats, train)  # (V, 32)
         v0 = topo.levels[0].valid
         sem_score_v = self.linear_sem(point_feat_v, v0, train)  # (V, 20)
         offset_v = self.linear_offset(point_feat_v, v0, train)  # (V, 3)
 
         pvalid = batch["point_valid"]
+        grid0 = (
+            tp.build_grid(topo.levels[0], sh.grid_extent)
+            if sh.grid_extent is not None else None
+        )
         v2p = tp.point_to_voxel_map(
             topo.levels[0], batch["xyz"], batch["point_batch"], pvalid,
-            self.voxel_size,
+            self.voxel_size, grid=grid0,
         )
         ok = (v2p >= 0) & pvalid
 
@@ -268,7 +274,25 @@ class PBNet(nn.Module):
         lv2 = tp.level_from_quantize(q2, sh.local_voxel_caps[0], 1)
         feats2 = jnp.take(scene_feat, q2["voxel2point"], axis=0, mode="fill", fill_value=0)
         feats2 = jnp.where(lv2.valid[:, None], feats2, 0.0)
-        topo2 = tp.build_unet_topology(lv2, list(sh.local_voxel_caps))
+        # local scenes sit on the SAME voxel lattice as the main scene, so a
+        # composite (pid, global-rank) grid gives exact two-gather lookups
+        use_composite = (
+            sh.grid_extent is not None and self.voxel_size == LOCAL_VOXEL
+        )
+        pid_batch = jnp.zeros((C + 1,), jnp.int32).at[
+            jnp.where(scene_c, pid_of_cluster, C)
+        ].set(jnp.clip(cbatch, 0, 63))[:C]
+        main_levels = bb["topo"].levels
+
+        def local_grids(lv):
+            if not use_composite:
+                return None
+            main = main_levels[int(np.log2(lv.stride))]
+            return tp.build_pid_grid(lv, main, sh.grid_extent, pid_batch, C)
+
+        topo2 = tp.build_unet_topology(
+            lv2, list(sh.local_voxel_caps), grids=local_grids
+        )
         d_feat = self.D_Unet(topo2, feats2, train)
         mask_v = self.linear_binary(d_feat, topo2.levels[0].valid, train)[:, 0]
         p2v2 = q2["point2voxel"]
@@ -308,7 +332,25 @@ class PBNet(nn.Module):
         lv3 = tp.level_from_quantize(q3, sh.score_voxel_caps[0], 1)
         feats3 = jnp.take(feat32, q3["voxel2point"], axis=0, mode="fill", fill_value=0)
         feats3 = jnp.where(lv3.valid[:, None], feats3, 0.0)
-        topo3 = tp.build_unet_topology(lv3, list(sh.score_voxel_caps))
+        # ScoreNet coords = xyz*scale/voxel: same lattice when scale==1
+        use_comp3 = (
+            sh.grid_extent is not None and self.voxel_size == LOCAL_VOXEL
+            and self.scale_size == 1.0
+        )
+        # final-pid -> scene batch (through the pre-threshold pid)
+        batch_of_pid2 = jnp.zeros((P + 1,), jnp.int32).at[
+            jnp.where(pid_alive, pid2, P)
+        ].set(jnp.clip(pid_batch, 0, 63))[:P]
+
+        def score_grids(lv):
+            if not use_comp3:
+                return None
+            main = main_levels[int(np.log2(lv.stride))]
+            return tp.build_pid_grid(lv, main, sh.grid_extent, batch_of_pid2, P)
+
+        topo3 = tp.build_unet_topology(
+            lv3, list(sh.score_voxel_caps), grids=score_grids
+        )
         iou_feat = self.score_Unet(topo3, feats3, train)
         iou_feat = self.linear_IOU_feat(iou_feat, topo3.levels[0].valid, train)
         vb3 = topo3.levels[0].coords[:, 0]

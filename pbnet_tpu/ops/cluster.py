@@ -9,7 +9,11 @@ reference pipeline                      TPU-native equivalent
 ------------------------------------    ---------------------------------------
 thrust sort by L1 norm (binary.cu:49)   lax.sort by (group, l1) pair
 k_num_nbs shared-mem window scan        banded chunk scan (lax.scan) over the
-  (binary_cuda_functions.cu:29-89)        sorted order, VPU distance tiles
+  (binary_cuda_functions.cu:29-89)        sorted order; windows are CONTIGUOUS
+                                          dynamic slices anchored at each
+                                          chunk's true lower bound (TPU:
+                                          slices stream at HBM bandwidth,
+                                          random gathers do not)
 k_identify_HPs (min_pts)                density >= min_pts mask
 host-loop BFS per seed (binary.cu:154)  min-label propagation + pointer
                                           jumping over HP-HP edges (equivalent
@@ -29,6 +33,12 @@ Cluster ids are ordered by (semantic class, batch item, first original point
 index of the seed component) — the same order the reference produces by
 looping classes then batch items then scanning seeds in index order
 (/root/reference/network/PBNet.py:151, cluster.cu:57, binary.cu:161).
+
+Exactness: a point's true neighbor window is [lb, ub) in the (group, l1)
+order (|l1_i - l1_j| <= 2r for any neighbor pair, the same pruning bound the
+reference's kernels use).  Each chunk's slice starts at the chunk's first
+row's lb; neighbors are missed only when a chunk's combined window exceeds
+``band`` columns — counted in ``band_overflow``, never silent.
 
 Semantics notes (verified against the CUDA source):
 * density excludes the point itself (k_num_nbs `ans - 1`); the python wrapper
@@ -59,7 +69,7 @@ class ClusterResult(NamedTuple):
     cluster_batch: jnp.ndarray  # (C,) int32
     cluster_size: jnp.ndarray  # (C,) int32
     cluster_valid: jnp.ndarray  # (C,) bool
-    band_overflow: jnp.ndarray  # () int32 points whose true window exceeded band
+    band_overflow: jnp.ndarray  # () int32 rows whose true window exceeded band
 
 
 def _group_l1_sort(shifted, group, valid):
@@ -114,7 +124,7 @@ def binary_cluster(
     cluster_cap: int = 384,
     band: int = 4096,
     chunk: int = 256,
-    prop_iters: int = 12,
+    prop_iters: int = 10,
 ) -> ClusterResult:
     n = shifted.shape[0]
     # group encodes (sem, batch) so cluster ordering matches the reference's
@@ -126,13 +136,25 @@ def binary_cluster(
     valid_s = valid[perm]
     r2 = jnp.float32(radius * radius)
 
-    # exact window bounds (for band-overflow diagnostics)
+    # exact per-row window bounds in the sorted order
     lb = _search_group_l1(g_s, l1_s, g_s, l1_s - 2 * radius, "left")
     ub = _search_group_l1(g_s, l1_s, g_s, l1_s + 2 * radius, "right")
 
     nchunks = (n + chunk - 1) // chunk
     npad = nchunks * chunk
-    half = band // 2
+    W = min(band, npad)
+
+    # chunk window anchors: start at the first row's lower bound; a chunk's
+    # combined true window is [lb[first], ub[last])
+    lb_c = lb[jnp.arange(nchunks) * chunk]
+    last_rows = jnp.minimum(jnp.arange(nchunks) * chunk + chunk - 1, n - 1)
+    ub_c = ub[last_rows]
+    # clamp anchor so the static window stays inside [0, npad)
+    anchor = jnp.clip(lb_c, 0, jnp.maximum(npad - W, 0)).astype(jnp.int32)
+    row_overflow = (ub_c - anchor) > W
+    band_overflow = jnp.sum(
+        jnp.where(row_overflow, jnp.minimum(chunk, n - jnp.arange(nchunks) * chunk), 0)
+    ).astype(jnp.int32)
 
     def pad_to(x, fill):
         pad_width = [(0, npad - n)] + [(0, 0)] * (x.ndim - 1)
@@ -142,38 +164,37 @@ def binary_cluster(
     g_p = pad_to(g_s, INF_I32)
     valid_p = pad_to(valid_s, False)
 
-    row_ids_all = jnp.arange(npad, dtype=jnp.int32)
+    def window(arr, c):
+        """Contiguous W-wide column window for chunk c (dynamic slice)."""
+        return jax.lax.dynamic_slice_in_dim(arr, anchor[c], W, axis=0)
 
-    def window_cols(c):
-        """Column index window for chunk c: [c*chunk - half, c*chunk + chunk + half)."""
-        start = c * chunk - half
-        idx = start + jnp.arange(chunk + band, dtype=jnp.int32)
-        ok = (idx >= 0) & (idx < n)
-        idx_c = jnp.clip(idx, 0, npad - 1)
-        return idx_c, ok
+    def rows_of(arr, c):
+        return jax.lax.dynamic_slice_in_dim(arr, c * chunk, chunk, axis=0)
 
-    def nbr_mask(c, rows_pos, rows_g, rows_valid, rows_idx):
-        idx_c, ok = window_cols(c)
-        cpos = pos_p[idx_c]  # (W, 3)
-        cg = g_p[idx_c]
-        cvalid = valid_p[idx_c] & ok
-        d = rows_pos[:, None, :] - cpos[None, :, :]
+    def nbr_mask(c):
+        """(chunk, W) neighbor mask for chunk c (excl. self)."""
+        rp = rows_of(pos_p, c)
+        rg = rows_of(g_p, c)
+        rv = rows_of(valid_p, c)
+        cp = window(pos_p, c)
+        cg = window(g_p, c)
+        cv = window(valid_p, c)
+        d = rp[:, None, :] - cp[None, :, :]
         d2 = jnp.sum(d * d, axis=-1)
-        same = rows_g[:, None] == cg[None, :]
+        rows_idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        cols_idx = anchor[c] + jnp.arange(W, dtype=jnp.int32)
         m = (
             (d2 <= r2)
-            & same
-            & cvalid[None, :]
-            & rows_valid[:, None]
-            & (rows_idx[:, None] != idx_c[None, :])
+            & (rg[:, None] == cg[None, :])
+            & cv[None, :]
+            & rv[:, None]
+            & (rows_idx[:, None] != cols_idx[None, :])
         )
-        return m, idx_c
+        return m
 
     # ---- pass 1: density ----
     def density_body(_, c):
-        r0 = c * chunk
-        rows_idx = r0 + jnp.arange(chunk, dtype=jnp.int32)
-        m, _ = nbr_mask(c, pos_p[rows_idx], g_p[rows_idx], valid_p[rows_idx], rows_idx)
+        m = nbr_mask(c)
         return None, jnp.sum(m, axis=1).astype(jnp.int32)
 
     _, dens_chunks = jax.lax.scan(
@@ -184,21 +205,17 @@ def binary_cluster(
     hp_p = pad_to(hp_s, False)
 
     # ---- pass 2: min-label propagation over HP-HP edges ----
-    init_label = jnp.where(hp_s, jnp.arange(n, dtype=jnp.int32), INF_I32)
-    init_label_p = pad_to(init_label, INF_I32)
+    init_label_p = pad_to(
+        jnp.where(hp_s, jnp.arange(n, dtype=jnp.int32), INF_I32), INF_I32
+    )
 
     def prop_once(label_p):
         def body(_, c):
-            r0 = c * chunk
-            rows_idx = r0 + jnp.arange(chunk, dtype=jnp.int32)
-            m, idx_c = nbr_mask(
-                c, pos_p[rows_idx], g_p[rows_idx], valid_p[rows_idx], rows_idx
-            )
-            m = m & hp_p[idx_c][None, :]  # only HP neighbors relay
-            nbr_lab = jnp.where(m, label_p[idx_c][None, :], INF_I32)
+            m = nbr_mask(c) & window(hp_p, c)[None, :]
+            nbr_lab = jnp.where(m, window(label_p, c)[None, :], INF_I32)
             best = jnp.min(nbr_lab, axis=1)
-            cur = label_p[rows_idx]
-            new = jnp.where(hp_p[rows_idx], jnp.minimum(cur, best), cur)
+            cur = rows_of(label_p, c)
+            new = jnp.where(rows_of(hp_p, c), jnp.minimum(cur, best), cur)
             return None, new
 
         _, lab_chunks = jax.lax.scan(
@@ -212,34 +229,33 @@ def binary_cluster(
         return jnp.minimum(label, hop)
 
     def prop_body(_, label_p):
-        lab = prop_once(label_p)  # already npad long (nchunks * chunk)
+        lab = prop_once(label_p)  # already npad long
         return jump(jump(lab))
 
     label_p = jax.lax.fori_loop(0, prop_iters, prop_body, init_label_p)
     label_s = label_p[:n]  # HP -> root (sorted index); LP/invalid -> INF
 
-    # first ORIGINAL index per component (the reference's seed identity):
-    # segment-min of original point index over members keyed by root.
+    # first ORIGINAL index per component (the reference's seed identity)
     root_seg = jnp.where(hp_s, label_s, n)
     comp_first_orig = jax.ops.segment_min(
         jnp.where(hp_s, perm, INF_I32), root_seg, num_segments=n + 1
     )
 
-    # ---- border LPs: within radius of >=1 HP, adopt comp with LARGEST
-    # first-original-index (replicates last-BFS-wins, binary.cu:206-213) ----
+    # per-point "first original index of my component" (one gather, reused by
+    # the border pass through contiguous windows)
+    first_of_point = jnp.where(
+        hp_s, comp_first_orig[jnp.clip(label_s, 0, n)], -1
+    ).astype(jnp.int32)
+    first_p = pad_to(first_of_point, -1)
+
+    # ---- border LPs: adopt the component with the LARGEST first-original
+    # index among HP neighbors (last-BFS-wins, binary.cu:206-213) ----
     def border_body(_, c):
-        r0 = c * chunk
-        rows_idx = r0 + jnp.arange(chunk, dtype=jnp.int32)
-        m, idx_c = nbr_mask(
-            c, pos_p[rows_idx], g_p[rows_idx], valid_p[rows_idx], rows_idx
-        )
-        m = m & hp_p[idx_c][None, :]
-        nbr_root = label_p[idx_c]  # (W,)
-        nbr_first = jnp.where(
-            m, comp_first_orig[jnp.clip(nbr_root, 0, n)][None, :], -1
-        )  # (R, W) via broadcast
+        m = nbr_mask(c) & window(hp_p, c)[None, :]
+        nbr_first = jnp.where(m, window(first_p, c)[None, :], -1)
+        nbr_root = window(label_p, c)
         best_first = jnp.max(nbr_first, axis=1)  # -1 if no HP neighbor
-        amax = jnp.argmax(nbr_first, axis=1)  # (R,) column index
+        amax = jnp.argmax(nbr_first, axis=1)
         best_root = nbr_root[amax]
         return None, (best_first, best_root)
 
@@ -251,18 +267,16 @@ def binary_cluster(
     is_border = (~hp_s) & valid_s & (border_first >= 0)
     root_all = jnp.where(hp_s, label_s, jnp.where(is_border, border_root, INF_I32))
 
-    # ---- enumerate + order clusters ----
-    has_comp = comp_first_orig[:n] != INF_I32  # roots that exist (indexed by root)
+    # ---- enumerate + order clusters by (group, first_orig) ----
+    has_comp = comp_first_orig[:n] != INF_I32  # indexed by root
     comp_group = jax.ops.segment_min(
         jnp.where(hp_s, g_s, INF_I32), root_seg, num_segments=n + 1
     )[:n]
-    # order clusters by (group, first_orig)
     order_g = jnp.where(has_comp, comp_group, INF_I32)
     order_f = jnp.where(has_comp, comp_first_orig[:n], INF_I32)
     root_index = jnp.arange(n, dtype=jnp.int32)
     og, of, oroot = jax.lax.sort((order_g, order_f, root_index), num_keys=2)
     ncomp = jnp.sum(has_comp.astype(jnp.int32))
-    # rank of each root: scatter position
     rank_of_root = jnp.zeros((n + 1,), jnp.int32).at[jnp.clip(oroot, 0, n)].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -274,7 +288,8 @@ def binary_cluster(
     cid_all = jnp.where(root_all == INF_I32, cluster_cap, cid_all)
     cid_all = jnp.minimum(cid_all, cluster_cap)
     size = jax.ops.segment_sum(
-        (cid_all < cluster_cap).astype(jnp.int32), cid_all, num_segments=cluster_cap + 1
+        (cid_all < cluster_cap).astype(jnp.int32), cid_all,
+        num_segments=cluster_cap + 1,
     )[:cluster_cap]
 
     c_idx = jnp.arange(cluster_cap, dtype=jnp.int32)
@@ -298,34 +313,62 @@ def binary_cluster(
     orig_s = orig[perm]
     assigned = cid_filtered >= 0
     if nv_flag:
+        need = (~assigned) & valid_s
+        # compact the points needing assignment into a static quarter-size
+        # row block: the full N x N scan dominated clustering latency, and
+        # with trained offsets the unassigned fraction is small.  Overflow is
+        # left unassigned (conservative) — detectable via cluster sizes.
+        noise_cap = min(max(256, npad // 4), n)
+        need_key = jnp.where(need, 0, 1).astype(jnp.int32)
+        srt_key, noise_rows = jax.lax.sort(
+            (need_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        noise_rows = noise_rows[:noise_cap]
+        noise_live = srt_key[:noise_cap] == 0
+        q_pos = orig_s[noise_rows]
+        q_g = g_s[noise_rows]
+
         orig_p = pad_to(orig_s, 1e9)
         assigned_p = pad_to(assigned, False)
         cid_p = pad_to(cid_filtered, -1)
+        num_noise = jnp.sum(need.astype(jnp.int32))
 
-        def nn_body(carry, c):
-            best_d, best_cid = carry
-            cstart = c * chunk
-            cand_idx = cstart + jnp.arange(chunk, dtype=jnp.int32)
-            cpos = orig_p[cand_idx]
-            cg = g_p[cand_idx]
-            cok = assigned_p[cand_idx]
-            d = orig_s[:, None, :] - cpos[None, :, :]
-            d2 = jnp.sum(d * d, axis=-1)
-            m = cok[None, :] & (cg[None, :] == g_s[:, None])
-            d2 = jnp.where(m, d2, jnp.inf)
-            j = jnp.argmin(d2, axis=1)
-            dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
-            cbest = cid_p[cand_idx][j]
-            upd = dmin <= best_d  # <=: later candidate wins ties like the ref
-            return (jnp.where(upd, dmin, best_d), jnp.where(upd, cbest, best_cid)), None
+        def nn_scan(_):
+            def nn_body(carry, c):
+                best_d, best_cid = carry
+                cpos = rows_of(orig_p, c)  # candidate chunk (contiguous)
+                cg = rows_of(g_p, c)
+                cok = rows_of(assigned_p, c)
+                ccid = rows_of(cid_p, c)
+                d = q_pos[:, None, :] - cpos[None, :, :]
+                d2 = jnp.sum(d * d, axis=-1)
+                m = cok[None, :] & (cg[None, :] == q_g[:, None])
+                d2 = jnp.where(m, d2, jnp.inf)
+                j = jnp.argmin(d2, axis=1)
+                dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
+                cbest = ccid[j]
+                upd = dmin <= best_d  # <=: later candidate wins ties (ref)
+                return (
+                    jnp.where(upd, dmin, best_d),
+                    jnp.where(upd, cbest, best_cid),
+                ), None
 
-        (best_d, best_cid), _ = jax.lax.scan(
-            nn_body,
-            (jnp.full((n,), jnp.inf), jnp.full((n,), -1, jnp.int32)),
-            jnp.arange(nchunks, dtype=jnp.int32),
+            (_, best_cid), _ = jax.lax.scan(
+                nn_body,
+                (jnp.full((noise_cap,), jnp.inf),
+                 jnp.full((noise_cap,), -1, jnp.int32)),
+                jnp.arange(nchunks, dtype=jnp.int32),
+            )
+            return best_cid
+
+        best_cid = jax.lax.cond(
+            num_noise > 0, nn_scan,
+            lambda _: jnp.full((noise_cap,), -1, jnp.int32), None,
         )
-        need = (~assigned) & valid_s
-        cid_final_s = jnp.where(need, best_cid, cid_filtered)
+        scatter_rows = jnp.where(noise_live, noise_rows, n)
+        cid_final_s = jnp.zeros((n + 1,), jnp.int32).at[: n].set(
+            cid_filtered
+        ).at[scatter_rows].set(jnp.where(noise_live, best_cid, -1))[:n]
     else:
         cid_final_s = cid_filtered
 
@@ -355,11 +398,6 @@ def binary_cluster(
     # ---- un-sort back to original point order ----
     cluster_id = jnp.full((n,), -1, jnp.int32).at[perm].set(cid_final_s)
     density = jnp.zeros((n,), jnp.int32).at[perm].set(density_s)
-
-    band_overflow = jnp.sum(
-        ((lb < row_ids_all[:n] - half) | (ub > row_ids_all[:n] + half + 1))
-        & valid_s
-    ).astype(jnp.int32)
 
     return ClusterResult(
         cluster_id=cluster_id,

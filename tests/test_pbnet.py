@@ -118,9 +118,7 @@ class TestInstanceStage:
     def _perfect_bb(self, model, variables, batch, n):
         """Stage-1 output with GT semantics and offsets pointing at centers."""
         ret = jax.jit(
-            lambda v, b: model.apply(
-                v, b, with_instances=False, with_labels=False, train=False
-            )
+            lambda v, b: model.apply(v, b, False, method=PBNet.backbone)
         )(variables, batch)
         sem = batch["sem_label"]
         ok = ret["point_ok"]
@@ -131,6 +129,7 @@ class TestInstanceStage:
         feat32 = jnp.tile(jnp.ones((1, 32)) * 0.1, (sem.shape[0], 1))
         soft = jax.nn.one_hot(jnp.clip(sem, 0, 19), 20) * 0.9 + 0.005
         return {
+            "topo": ret["topo"],
             "point_feat_p": feat32,
             "sem_pred_score_p": soft * 10,
             "sem_soft_p": soft,
