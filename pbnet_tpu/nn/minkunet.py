@@ -30,9 +30,15 @@ class MinkUNetBase(nn.Module):
     planes: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
     init_dim: int = 32
     axis_name: Optional[str] = None
+    # rematerialize residual blocks in the backward pass: the img2col conv
+    # buffers are the dominant activation memory; without remat the train
+    # step spills/compresses and runtime explodes
+    remat: bool = True
 
     def _blocks(self, n, planes, feats, kmap, valid, train, name):
         blk = BLOCKS[self.block]
+        if self.remat:
+            blk = nn.remat(blk, static_argnums=(4,))
         for i in range(n):
             feats = blk(planes, axis_name=self.axis_name, name=f"{name}_{i}")(
                 feats, kmap, valid, train
@@ -48,7 +54,7 @@ class MinkUNetBase(nn.Module):
 
         # stem (conv0p1s1 k=5 + bn0 + relu), /root/reference/network/Mink.py:221-224,293-295
         out = SparseConv(self.init_dim, topo.stem_map.shape[1], name="conv0")(
-            feats, topo.stem_map, v[0]
+            feats, topo.stem_map, v[0], kmap_bwd=topo.stem_map[:, ::-1]
         )
         out = MaskedBatchNorm(axis_name=ax, name="bn0")(out, v[0], train)
         out_p1 = relu(out)
@@ -58,7 +64,8 @@ class MinkUNetBase(nn.Module):
         x = out_p1
         ch = self.init_dim
         for s in range(4):
-            x = SparseConv(ch, 8, name=f"conv{s+1}s2")(x, topo.down_maps[s], v[s + 1])
+            x = SparseConv(ch, 8, name=f"conv{s+1}s2")(
+                x, topo.down_maps[s], v[s + 1], kmap_bwd=topo.up_maps[s])
             x = MaskedBatchNorm(axis_name=ax, name=f"bn{s+1}")(x, v[s + 1], train)
             x = relu(x)
             x = self._blocks(
@@ -73,7 +80,7 @@ class MinkUNetBase(nn.Module):
         for d in range(4):
             lvl = 3 - d  # target level index
             x = SparseConv(self.planes[4 + d], 8, name=f"convtr{4+d}")(
-                x, topo.up_maps[lvl], v[lvl]
+                x, topo.up_maps[lvl], v[lvl], kmap_bwd=topo.down_maps[lvl]
             )
             x = MaskedBatchNorm(axis_name=ax, name=f"bntr{4+d}")(x, v[lvl], train)
             x = relu(x)
@@ -105,12 +112,13 @@ class MinkMiniUNet(nn.Module):
         blk = BLOCKS[self.block]
 
         out = SparseConv(self.init_dim, topo.stem_map.shape[1], name="conv0")(
-            feats, topo.stem_map, v[0]
+            feats, topo.stem_map, v[0], kmap_bwd=topo.stem_map[:, ::-1]
         )
         out = MaskedBatchNorm(axis_name=ax, name="bn0")(out, v[0], train)
         out_p0 = relu(out)
 
-        x = SparseConv(self.init_dim, 8, name="conv1s2")(out_p0, topo.down_maps[0], v[1])
+        x = SparseConv(self.init_dim, 8, name="conv1s2")(
+            out_p0, topo.down_maps[0], v[1], kmap_bwd=topo.up_maps[0])
         x = MaskedBatchNorm(axis_name=ax, name="bn1")(x, v[1], train)
         x = relu(x)
         for i in range(self.layers[0]):
@@ -118,7 +126,8 @@ class MinkMiniUNet(nn.Module):
                 x, topo.k3_maps[1], v[1], train
             )
 
-        x = SparseConv(self.planes[1], 8, name="convtr2")(x, topo.up_maps[0], v[0])
+        x = SparseConv(self.planes[1], 8, name="convtr2")(
+            x, topo.up_maps[0], v[0], kmap_bwd=topo.down_maps[0])
         x = MaskedBatchNorm(axis_name=ax, name="bntr1")(x, v[0], train)
         x = relu(x)
         x = jnp.concatenate([x, out_p0], axis=1)

@@ -33,14 +33,19 @@ def kaiming_conv_init(key, shape, dtype=jnp.float32):
 
 
 class SparseConv(nn.Module):
-    """Sparse convolution driven by a precomputed kernel map."""
+    """Sparse convolution driven by a precomputed kernel map.
+
+    ``kmap_bwd`` (the transposed kernel map, see sparse_ops._gather_conv_core)
+    turns the backward pass into gathers instead of scatter-adds — pass it
+    wherever the topology provides one.
+    """
 
     features: int
     kernel_volume: int
     use_bias: bool = False  # ME MinkowskiConvolution default
 
     @nn.compact
-    def __call__(self, feats, kmap, valid_out):
+    def __call__(self, feats, kmap, valid_out, kmap_bwd=None):
         cin = feats.shape[-1]
         w = self.param(
             "kernel", kaiming_conv_init, (self.kernel_volume, cin, self.features)
@@ -50,7 +55,8 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
-        return sparse_ops.gather_conv(feats, kmap, w, valid_out, b)
+        return sparse_ops.gather_conv(feats, kmap, w, valid_out, b,
+                                      kmap_bwd=kmap_bwd)
 
 
 class SparseLinear(nn.Module):
@@ -157,10 +163,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, kmap3, valid, train: bool):
         inplanes = feats.shape[-1]
-        y = SparseConv(self.planes, kmap3.shape[1], name="conv1")(feats, kmap3, valid)
+        kb = kmap3[:, ::-1]  # same-level symmetric offsets: transpose = flip
+        y = SparseConv(self.planes, kmap3.shape[1], name="conv1")(
+            feats, kmap3, valid, kmap_bwd=kb)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid, train)
         y = relu(y)
-        y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(y, kmap3, valid)
+        y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(
+            y, kmap3, valid, kmap_bwd=kb)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid, train)
         if inplanes != self.planes * self.expansion:
             skip = SparseLinear(self.planes * self.expansion, use_bias=False,
@@ -185,7 +194,8 @@ class Bottleneck(nn.Module):
         y = SparseLinear(self.planes, use_bias=False, name="conv1")(feats, valid)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid, train)
         y = relu(y)
-        y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(y, kmap3, valid)
+        y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(
+            y, kmap3, valid, kmap_bwd=kmap3[:, ::-1])
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid, train)
         y = relu(y)
         y = SparseLinear(self.planes * self.expansion, use_bias=False,

@@ -15,25 +15,99 @@ import jax
 import jax.numpy as jnp
 
 
+# Conv compute dtype: bf16 img2col + weights with f32 accumulation halves the
+# dominant HBM traffic (the (M, K, Cin) gather buffer) at matmul-standard
+# precision.  Flip to jnp.float32 for strict-parity comparisons.
+COMPUTE_DTYPE = jnp.bfloat16
+
+
+def _conv_fwd_math(feats, kmap, weights, valid_out):
+    g = jnp.take(
+        feats.astype(COMPUTE_DTYPE), kmap, axis=0, mode="fill", fill_value=0
+    )  # (M, K, Cin)
+    k, cin, cout = weights.shape
+    y = jax.lax.dot_general(
+        g.reshape(g.shape[0], k * cin),
+        weights.astype(COMPUTE_DTYPE).reshape(k * cin, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(valid_out[:, None], y, 0.0)
+
+
+@jax.custom_vjp
+def _gather_conv_core(feats, kmap, kmap_bwd, weights, valid_out):
+    """Sparse conv whose BACKWARD is also a gather-GEMM.
+
+    XLA differentiates a gather into a scatter-add, and random scatters run
+    at ~54M elements/s on v5e — conv backwards dominated the train step
+    (86 s/step before this).  But every kernel map's transpose IS another
+    kernel map: output i reads input j at offset d  <=>  input j is read by
+    output at coordinate (j - d).  ``kmap_bwd[j, k]`` must hold the output
+    row that reads input j at forward-offset k:
+
+    * same-level (odd-k) maps: the column-reversed map itself (-d enumerates
+      at index K-1-k)
+    * strided conv (k=2 s=2): the transpose-conv map of the same level pair
+    * transposed conv: the strided-conv map
+
+    so no extra lookups are ever built.
+    """
+    return _conv_fwd_math(feats, kmap, weights, valid_out)
+
+
+def _gc_fwd(feats, kmap, kmap_bwd, weights, valid_out):
+    y = _conv_fwd_math(feats, kmap, weights, valid_out)
+    return y, (feats, kmap, kmap_bwd, weights, valid_out)
+
+
+def _gc_bwd(res, dy):
+    feats, kmap, kmap_bwd, weights, valid_out = res
+    dy = jnp.where(valid_out[:, None], dy, 0.0).astype(COMPUTE_DTYPE)
+    k, cin, cout = weights.shape
+    # One backward gather serves BOTH grads: gy[j,k] = dy[output reading j at
+    # forward-offset k].
+    gy = jnp.take(dy, kmap_bwd, axis=0, mode="fill", fill_value=0)  # (Min,K,Cout)
+    # dx[j] = sum_k gy[j,k] @ W[k]^T
+    wt = jnp.swapaxes(weights.astype(COMPUTE_DTYPE), 1, 2).reshape(k * cout, cin)
+    dx = jax.lax.dot_general(
+        gy.reshape(gy.shape[0], k * cout), wt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dW[k] = sum_i x[kmap[i,k]] dy[i] = sum_j x[j] gy[j,k]  (substituting
+    # j = kmap[i,k] <=> i = kmap_bwd[j,k]) — no re-gather of x needed.
+    dw = jax.lax.dot_general(
+        feats.astype(COMPUTE_DTYPE), gy.reshape(gy.shape[0], k * cout),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(cin, k, cout).transpose(1, 0, 2)
+    return dx, None, None, dw, None
+
+
+_gather_conv_core.defvjp(_gc_fwd, _gc_bwd)
+
+
 def gather_conv(
     feats: jnp.ndarray,  # (M_in, Cin)
     kmap: jnp.ndarray,  # (M_out, K) int32, -1 = missing input
     weights: jnp.ndarray,  # (K, Cin, Cout)
     valid_out: jnp.ndarray,  # (M_out,) bool
     bias: jnp.ndarray | None = None,
+    kmap_bwd: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Sparse convolution as gather + GEMM.  Returns (M_out, Cout)."""
-    g = jnp.take(feats, kmap, axis=0, mode="fill", fill_value=0)  # (M, K, Cin)
-    k, cin, cout = weights.shape
-    y = jax.lax.dot_general(
-        g.reshape(g.shape[0], k * cin),
-        weights.reshape(k * cin, cout),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """Sparse convolution as gather + GEMM.  Returns (M_out, Cout).
+
+    When ``kmap_bwd`` is given, the backward pass is a gather-GEMM too (see
+    ``_gather_conv_core``); otherwise autodiff falls back to scatter-add.
+    """
+    if kmap_bwd is None:
+        y = _conv_fwd_math(feats, kmap, weights, valid_out)
+    else:
+        y = _gather_conv_core(feats, kmap, kmap_bwd, weights, valid_out)
     if bias is not None:
-        y = y + bias
-    return jnp.where(valid_out[:, None], y, 0.0)
+        y = jnp.where(valid_out[:, None], y + bias, 0.0)
+    return y
 
 
 def max_pool(

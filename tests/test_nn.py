@@ -34,9 +34,15 @@ class TestGatherConv:
             feats[i] = dense[c[i, 1], c[i, 2], c[i, 3]]
         w = rng.randn(k**3, cin, cout).astype(np.float32)
 
-        y = np.asarray(
-            sparse_ops.gather_conv(jnp.asarray(feats), km, jnp.asarray(w), lv.valid)
-        )
+        # strict f32 parity against the dense oracle
+        old = sparse_ops.COMPUTE_DTYPE
+        sparse_ops.COMPUTE_DTYPE = jnp.float32
+        try:
+            y = np.asarray(
+                sparse_ops.gather_conv(jnp.asarray(feats), km, jnp.asarray(w), lv.valid)
+            )
+        finally:
+            sparse_ops.COMPUTE_DTYPE = old
         # dense oracle with zero padding
         offs = tp.kernel_offsets(k)
         expect = np.zeros((side, side, side, cout), np.float32)
@@ -172,3 +178,67 @@ class TestMinkUNet:
         )(variables, topo, feats)
         assert out.shape == (topo.levels[0].cap, 1)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestConvVJP:
+    """The custom gather-backward must match autodiff on all VALID rows.
+
+    (Autodiff of take(mode='fill') scatters dropped-entry cotangents into the
+    wrapped index -1 = last pad row; the custom VJP correctly yields 0 there.)
+    """
+
+    def _level_pair(self, rng):
+        c = np.unique(
+            np.stack([np.zeros(300, int), rng.randint(0, 12, 300),
+                      rng.randint(0, 12, 300), rng.randint(0, 12, 300)], 1
+                     ).astype(np.int32), axis=0)
+        n = c.shape[0]
+        cap = n + 7
+        cpad = np.zeros((cap, 4), np.int32)
+        cpad[:n] = c
+        valid = np.arange(cap) < n
+        lv = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1)
+        lv2 = tp.downsample(lv, 2, cap)
+        return lv, lv2
+
+    def test_transpose_identity(self, rng):
+        lv, _ = self._level_pair(rng)
+        km = np.asarray(tp.conv_map(lv, lv, 3))
+        K = km.shape[1]
+        for i in range(km.shape[0]):
+            for k in range(K):
+                j = km[i, k]
+                if j >= 0:
+                    assert km[j, K - 1 - k] == i
+
+    def test_grads_match_autodiff(self, rng):
+        lv, lv2 = self._level_pair(rng)
+        cases = [
+            (tp.conv_map(lv, lv, 3), None, lv.valid, "flip"),
+            (tp.conv_map(lv2, lv, 2), tp.conv_transpose_map(lv, lv2, 2),
+             lv2.valid, "pair"),
+        ]
+        for kf, kb, vout, mode in cases:
+            if mode == "flip":
+                kb = kf[:, ::-1]
+            K = kf.shape[1]
+            x = jnp.asarray(rng.randn(lv.cap, 5).astype(np.float32))
+            x = x * lv.valid[:, None]
+            w = jnp.asarray(rng.randn(K, 5, 4).astype(np.float32))
+            dy = jnp.asarray(rng.randn(lv.cap, 4).astype(np.float32))
+
+            f_ref = lambda x, w: jnp.sum(
+                sparse_ops.gather_conv(x, kf, w, vout) * dy)
+            f_new = lambda x, w: jnp.sum(
+                sparse_ops.gather_conv(x, kf, w, vout, kmap_bwd=kb) * dy)
+            gx_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+            gx_n, gw_n = jax.grad(f_new, argnums=(0, 1))(x, w)
+            vmask = np.asarray(lv.valid)
+            # conv compute is bf16 with f32 accumulation; the two backward
+            # formulations accumulate in different orders -> bf16-level noise
+            def close(a, b):
+                a, b = np.asarray(a), np.asarray(b)
+                tol = 2e-2 * max(np.abs(b).max(), 1.0)
+                np.testing.assert_allclose(a, b, atol=tol)
+            close(np.asarray(gx_r)[vmask], np.asarray(gx_n)[vmask])
+            close(gw_r, gw_n)
