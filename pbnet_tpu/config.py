@@ -100,6 +100,9 @@ class Config:
     nodes: int = 1
     sync_bn: bool = True
     num_devices: int = 0  # 0 = all visible devices
+    # capture a jax.profiler trace of train iterations [2, 2+profile_steps)
+    # under logpath/profile (0 = off)
+    profile_steps: int = 0
 
     # ---- module freezing (reference fix_module map,
     # /root/reference/network/PBNet.py:91-101) ----

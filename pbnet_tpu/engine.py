@@ -149,6 +149,8 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
             if len(buf) < ndev:
                 continue
             t0 = time.time()
+            if cfg.profile_steps and total_iters == 2:
+                jax.profiler.start_trace(os.path.join(cfg.logpath, "profile"))
             stack = mesh_lib.shard_batch(m, buf)
             buf = []
             state, aux = step_fn(state, stack, lr)
@@ -157,6 +159,8 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
             iter_time.update(dt)
             it += 1
             total_iters += 1
+            if cfg.profile_steps and total_iters == 2 + cfg.profile_steps:
+                jax.profiler.stop_trace()
             for k, v in aux.items():
                 am.setdefault(k, metrics.AverageMeter()).update(v)
             remain = (nsteps - it) + nsteps * (end_epoch - epoch)
@@ -207,14 +211,20 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     matches = {}
     gt_dir = os.path.join(cfg.data_root, "val_gt")
 
-    # single-device eval path: jit once
+    # single-device eval path: jit once.  with_labels=True also yields the
+    # mask-accuracy meters of the reference's in-train eval
+    # (/root/reference/train.py:152-168); val batches always carry labels.
     @jax.jit
     def fwd(params, batch_stats, batch):
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
-            with_instances=with_instances, with_labels=False, train=False,
+            with_instances=with_instances, with_labels=with_instances,
+            train=False,
         )
 
+    all_acc = metrics.AverageMeter()
+    tp_acc = metrics.AverageMeter()
+    tf_acc = metrics.AverageMeter()
     n_scenes = len(dataset.val_file_list)
     if max_scenes:
         n_scenes = min(n_scenes, max_scenes)
@@ -233,6 +243,17 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
         target_m += target
 
         if with_instances:
+            pm = np.asarray(ret["mask_scores"]) >= 0.5
+            gm = np.asarray(ret["gt_mask"])
+            sv = np.asarray(ret["scene_valid"]) & (gm != -1.0)
+            if sv.any():
+                all_acc.update(float((pm[sv] == (gm[sv] == 1.0)).mean()))
+                pos = sv & (gm == 1.0)
+                neg = sv & (gm == 0.0)
+                if pos.any():
+                    tp_acc.update(float(pm[pos].mean()))
+                if neg.any():
+                    tf_acc.update(float(1.0 - pm[neg].mean()))
             pred_info = eval_scene_instances(ret, n, batch["sup"], cfg)
             if pred_info is None:
                 print("no cluster")
@@ -263,10 +284,15 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
             mAP=float(avgs["all_ap"]), AP50=float(avgs["all_ap_50%"]),
             AP25=float(avgs["all_ap_25%"]),
         )
+        result.update(mask_all_acc=all_acc.avg, mask_tp_acc=tp_acc.avg,
+                      mask_tf_acc=tf_acc.avg)
         if writer:
             writer.add_scalar("val/mAP", avgs["all_ap"], epoch)
             writer.add_scalar("val/AP_50", avgs["all_ap_50%"], epoch)
             writer.add_scalar("val/AP_25", avgs["all_ap_25%"], epoch)
+            writer.add_scalar("val/All_mask_acc", all_acc.avg, epoch)
+            writer.add_scalar("val/Tp_acc", tp_acc.avg, epoch)
+            writer.add_scalar("val/Fp_acc", tf_acc.avg, epoch)
     return result
 
 

@@ -217,3 +217,71 @@ class TestTopology:
         counts = [int(l.count) for l in topo.levels]
         assert all(a >= b for a, b in zip(counts, counts[1:]))
         assert topo.stem_map.shape == (caps[0], 125)
+
+
+class TestGrids:
+    def test_dense_grid_matches_bsearch(self, rng):
+        c = np.unique(random_coords(rng, 400, extent=30, batches=3), axis=0)
+        cap = c.shape[0] + 9
+        cpad = np.zeros((cap, 4), np.int32)
+        cpad[: c.shape[0]] = c
+        valid = np.arange(cap) < c.shape[0]
+        lv = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1)
+        grid = tp.build_grid(lv, (4, 64, 64, 64))
+        assert int(grid.overflow) == 0
+        for k in (2, 3, 5):
+            np.testing.assert_array_equal(
+                np.asarray(tp.conv_map(lv, lv, k, grid)),
+                np.asarray(tp.conv_map(lv, lv, k)),
+            )
+        lv2 = tp.downsample(lv, 2, cap)
+        grid2 = tp.build_grid(lv2, (4, 64, 64, 64))
+        np.testing.assert_array_equal(
+            np.asarray(tp.conv_map(lv2, lv, 2, grid)),
+            np.asarray(tp.conv_map(lv2, lv, 2)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tp.conv_transpose_map(lv, lv2, 2, grid2)),
+            np.asarray(tp.conv_transpose_map(lv, lv2, 2)),
+        )
+
+    def test_dense_grid_overflow_counted(self, rng):
+        c = np.array([[0, 70, 2, 2], [0, 1, 1, 1]], np.int32)  # x=70 > extent
+        lv = tp.level_from_coords(
+            jnp.asarray(c), jnp.asarray(np.ones(2, bool)), 2, 1
+        )
+        grid = tp.build_grid(lv, (1, 64, 64, 64))
+        assert int(grid.overflow) == 1
+
+    def test_pid_grid_matches_bsearch(self, rng):
+        # main scene voxels + per-proposal subsets sharing the lattice
+        c = np.unique(random_coords(rng, 500, extent=24, batches=2), axis=0)
+        vcap = c.shape[0] + 5
+        cpad = np.zeros((vcap, 4), np.int32)
+        cpad[: c.shape[0]] = c
+        valid = np.arange(vcap) < c.shape[0]
+        main = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), vcap, 1)
+
+        # proposals: pid 0 from batch 0, pid 1 from batch 1, random subsets
+        pid_batch = np.array([0, 1, 0, 0], np.int32)
+        rows0 = c[c[:, 0] == 0][: 80]
+        rows1 = c[c[:, 0] == 1][: 60]
+        local = np.concatenate([
+            np.concatenate([np.zeros((len(rows0), 1), np.int32), rows0[:, 1:]], 1),
+            np.concatenate([np.ones((len(rows1), 1), np.int32), rows1[:, 1:]], 1),
+        ])
+        lcap = local.shape[0] + 7
+        lpad = np.zeros((lcap, 4), np.int32)
+        lpad[: local.shape[0]] = local
+        lvalid = np.arange(lcap) < local.shape[0]
+        llv = tp.level_from_coords(jnp.asarray(lpad), jnp.asarray(lvalid), lcap, 1)
+
+        pgrid = tp.build_pid_grid(
+            llv, main, (2, 64, 64, 64), jnp.asarray(pid_batch), 4
+        )
+        assert int(pgrid.overflow) == 0
+        for k in (2, 3):
+            np.testing.assert_array_equal(
+                np.asarray(tp.conv_map(llv, llv, k, pgrid)),
+                np.asarray(tp.conv_map(llv, llv, k)),
+            )
