@@ -199,10 +199,17 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
 
 
 def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None,
-             max_scenes: int | None = None):
+             max_scenes: int | None = None, test_mode: bool = False):
     """Validation: semantic mIoU + (past cluster_epoch) instance AP
-    (/root/reference/train.py:123-304, eval_map.py:40-158)."""
+    (/root/reference/train.py:123-304, eval_map.py:40-158).
+
+    test_mode=True reproduces the standalone eval driver (task='test'): no
+    labels in the forward, so no proposals are skipped by GT-mode and no
+    mask-accuracy meters (the reference's eval_map.py vs train.eval_epoch
+    distinction, network/PBNet.py:164,206).
+    """
     with_instances = epoch > cfg.cluster_epoch
+    use_labels = with_instances and not test_mode
     emit = logger.info if logger else print
 
     inter_m = np.zeros(cfg.sem_num)
@@ -218,7 +225,7 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     def fwd(params, batch_stats, batch):
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
-            with_instances=with_instances, with_labels=with_instances,
+            with_instances=with_instances, with_labels=use_labels,
             train=False,
         )
 
@@ -242,7 +249,7 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
         union_m += union
         target_m += target
 
-        if with_instances:
+        if with_instances and use_labels:
             pm = np.asarray(ret["mask_scores"]) >= 0.5
             gm = np.asarray(ret["gt_mask"])
             sv = np.asarray(ret["scene_valid"]) & (gm != -1.0)
@@ -254,6 +261,7 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
                     tp_acc.update(float(pm[pos].mean()))
                 if neg.any():
                     tf_acc.update(float(1.0 - pm[neg].mean()))
+        if with_instances:
             pred_info = eval_scene_instances(ret, n, batch["sup"], cfg)
             if pred_info is None:
                 print("no cluster")
@@ -313,7 +321,7 @@ def evaluate_pretrained(cfg: Config, max_scenes=None):
         f"Restore from {ckfile}" if ckfile else f"Start from epoch {start_epoch}"
     )
     return evaluate(cfg, model, state, dataset, epoch=start_epoch, logger=logger,
-                    max_scenes=max_scenes)
+                    max_scenes=max_scenes, test_mode=True)
 
 
 def write_submission(result_dir: str, scene_name: str, pred_info: dict):
