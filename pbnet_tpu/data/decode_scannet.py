@@ -193,3 +193,43 @@ def shm_load(fn: str, suffix: str, npy_dir: str, cache: bool):
         if os.path.exists(p):
             return np.load(p, mmap_mode="r")
     return np.load(os.path.join(npy_dir, f"{fn}_{suffix}.npy"))
+
+
+def main(argv=None):
+    """CLI mirroring the reference decode entrypoint
+    (/root/reference/datasets/scannetv2/decode_scannet.py:268-285):
+    decode train/val/test splits to npy, build the /dev/shm cache and the
+    val-GT files."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="ScanNet v2 offline decoding")
+    ap.add_argument("--scannet_dir", default="datasets/scannetv2")
+    ap.add_argument("--out_dir", default=None, help="default <scannet_dir>/npy")
+    ap.add_argument("--label_map", default=None,
+                    help="scannetv2-labels.combined.tsv (omit to use raw names)")
+    ap.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    ap.add_argument("--workers", type=int, default=os.cpu_count())
+    ap.add_argument("--shm", action="store_true", help="populate /dev/shm cache")
+    ap.add_argument("--val_gt", action="store_true", help="write val_gt txts")
+    args = ap.parse_args(argv)
+
+    out = args.out_dir or os.path.join(args.scannet_dir, "npy")
+    for split in args.splits:
+        files = decode_split(args.scannet_dir, split, out,
+                             label_map_file=args.label_map,
+                             workers=args.workers)
+        print(f"{split}: decoded {len(files)} scenes -> {out}")
+        names = [os.path.basename(f)[:12] for f in files]
+        if args.shm and names:
+            create_shm(names, out, split if split != "train" else "train")
+    if args.val_gt:
+        val_list = np.loadtxt(
+            os.path.join(args.scannet_dir, "scannetv2_val.txt"), dtype=str,
+            ndmin=1,
+        ).tolist()
+        write_val_gt(out, val_list, os.path.join(args.scannet_dir, "val_gt"))
+        print(f"val_gt written for {len(val_list)} scenes")
+
+
+if __name__ == "__main__":
+    main()
