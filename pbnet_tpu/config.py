@@ -68,6 +68,7 @@ class Config:
     min_crop_p: int = 50_000
     batch_size: int = 4
     batch_size_v: int = 1
+    mixup: bool = True  # scene-mixup augmentation (the reference hardcodes it)
 
     # ---- optimizer (config.py:35-40) ----
     lr: float = 0.001

@@ -33,7 +33,7 @@ class Dataset:
         self.scale_size = cfg.scale_size
         self.full_scale = [128 * cfg.scale_size / 50.0, 512 * cfg.scale_size / 50.0]
         self.npy_dir = npy_dir or os.path.join(cfg.data_root, "npy")
-        self.mixup = True
+        self.mixup = cfg.mixup
 
         root = cfg.data_root
         self.train_file_list = self._load_list(os.path.join(root, "scannetv2_train.txt"))
