@@ -97,8 +97,11 @@ class Config:
 
     # ---- distributed (config.py:59-64); TPU: devices on a 1-D data mesh ----
     local_rank: int = 0
-    node_rank: int = 0
-    nodes: int = 1
+    node_rank: int = 0  # this host's process id (reference -nr/--node_rank)
+    nodes: int = 1  # number of hosts (reference --nodes)
+    coordinator: str = ""  # host:port of process 0 (replaces the reference's
+    # hard-coded tcp://127.0.0.1:<tcp_port> NCCL rendezvous, train.py:323)
+    tcp_port: int = 16677
     sync_bn: bool = True
     num_devices: int = 0  # 0 = all visible devices
     # capture a jax.profiler trace of train iterations [2, 2+profile_steps)
@@ -146,6 +149,14 @@ def get_parser(test: bool = False, argv=None) -> Config:
         if f.type in ("bool", bool):
             p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
                            default=default)
+        elif isinstance(default, tuple):
+            # compound flags (e.g. --fix_module D_Unet,linear_sem) parse as a
+            # comma-separated list, not char-wise tuple("abc")
+            p.add_argument(
+                f"--{f.name}",
+                type=lambda s: tuple(x for x in s.split(",") if x),
+                default=default,
+            )
         else:
             p.add_argument(f"--{f.name}", type=type(default), default=default)
     args = p.parse_args(argv)

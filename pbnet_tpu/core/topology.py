@@ -320,6 +320,9 @@ class UNetTopology:
     k3_maps: tuple  # per level: (M_l, 27) stride-1 k=3 map
     down_maps: tuple  # l -> l+1: (M_{l+1}, 8) k=2 s=2 conv map
     up_maps: tuple  # l+1 -> l: (M_l, 8) k=2 s=2 transpose map
+    # () int32 diagnostics: voxels beyond level caps / outside grid extents
+    level_overflow: jnp.ndarray = 0
+    grid_overflow: jnp.ndarray = 0
 
 
 def build_unet_topology(
@@ -360,7 +363,15 @@ def build_unet_topology(
         for l in range(num_levels - 1)
     )
     stem = conv_map(levels[0], levels[0], stem_k, grids[0])
+    level_overflow = sum(
+        jnp.maximum(lv.count - lv.cap, 0) for lv in levels
+    )
+    grid_overflow = sum(
+        (g.overflow if g is not None else jnp.int32(0)) for g in grids
+    )
     return UNetTopology(
         levels=tuple(levels), stem_map=stem, k3_maps=k3,
         down_maps=down, up_maps=up,
+        level_overflow=jnp.int32(level_overflow),
+        grid_overflow=jnp.int32(grid_overflow),
     )

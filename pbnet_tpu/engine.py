@@ -97,15 +97,19 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
     logger.info(str(cfg))
 
     dataset = dataset or Dataset(cfg)
+    # multi-host sharding: this process loads scenes for its own devices only
+    # (DistributedSampler equivalent, /root/reference/train.py:321-324)
+    rank, world = jax.process_index(), jax.process_count()
     m = mesh_lib.make_mesh(cfg.num_devices)
     ndev = len(m.devices.flatten())
-    if len(dataset.train_file_list) < ndev * cfg.batch_size:
+    if world == 1 and len(dataset.train_file_list) < ndev * cfg.batch_size:
         # fewer scenes than one global step consumes -> shrink the mesh
         ndev = max(1, len(dataset.train_file_list) // cfg.batch_size)
         m = mesh_lib.make_mesh(ndev)
+    ldev = mesh_lib.local_device_count(m)
     multi = ndev > 1
     model = build_model(cfg, multi)
-    logger.info(f"devices: {ndev} mesh: {m}")
+    logger.info(f"devices: {ndev} ({ldev} local, rank {rank}/{world}) mesh: {m}")
 
     # init from one sample batch
     ids0 = dataset.train_epoch_ids(0)[0]
@@ -136,17 +140,17 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
         step_fn = steps[with_instances]
         lr = cosine_lr_after_step(cfg.lr, epoch, cfg.step_epoch, cfg.epochs)
 
-        batches = dataset.train_epoch_ids(epoch)
-        # group per-device stacks of ndev host batches
-        nsteps = len(batches) // ndev
+        batches = dataset.train_epoch_ids(epoch, rank=rank, world=world)
+        # group per-LOCAL-device stacks; other hosts feed their own devices
+        nsteps = len(batches) // ldev
         am = {}
         t_epoch = time.time()
-        loader = dataset.train_loader(epoch)
+        loader = dataset.train_loader(epoch, rank=rank, world=world)
         buf = []
         it = 0
         for batch in loader:
             buf.append(device_batch(batch))
-            if len(buf) < ndev:
+            if len(buf) < ldev:
                 continue
             t0 = time.time()
             if cfg.profile_steps and total_iters == 2:
@@ -177,6 +181,13 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
             f"epoch: {epoch}/{cfg.epochs}, train loss: {am['loss'].avg:.4f}, "
             f"time: {time.time()-t_epoch:.1f}s"
         )
+        over = {k: v.avg for k, v in am.items()
+                if k.startswith("overflow") and v.avg > 0}
+        if over:
+            logger.warning(
+                f"capacity overflow detected (work was dropped; raise "
+                f"StaticShapes caps): {over}"
+            )
         for k, v in am.items():
             writer.add_scalar(k + "_train", v.avg, epoch)
         writer.add_scalar("train/learning_rate", lr, epoch)
@@ -240,6 +251,14 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
         dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
         ret = fwd(state.params, state.batch_stats, dev)
         n = batch["num_points"]
+        ov = int(ret.get("overflow_vox", 0)) + int(ret.get("overflow_grid", 0))
+        if "overflow" in ret:
+            ov += sum(int(v) for v in ret["overflow"].values())
+        if ov:
+            emit(
+                f"WARNING {batch.get('fn', i)}: capacity overflow, {ov} items "
+                f"dropped — raise StaticShapes caps"
+            )
         sem_pred = np.asarray(ret["sem_pred_p"])[:n]
         sem_lab = batch["sem_label"][:n]
         inter, union, target = metrics.intersection_and_union(

@@ -105,6 +105,14 @@ def model_fn(ret, batch, cfg_like, with_instances: bool):
         "offset_norm_loss": norm_l,
         "offset_dir_loss": dir_l,
     }
+    # capacity-overrun diagnostics: visible in scalars.jsonl, asserted zero in
+    # the e2e tests (the model promises no silent work-dropping)
+    for k in ("overflow_vox", "overflow_grid"):
+        if k in ret:
+            aux[k] = ret[k].astype(jnp.float32)
+    if with_instances and "overflow" in ret:
+        for k, v in ret["overflow"].items():
+            aux[f"overflow_{k}"] = v.astype(jnp.float32)
     if with_instances:
         mask_l, dice_l = mask_losses(
             ret["mask_scores"], ret["gt_mask"], ret["scene_valid"]

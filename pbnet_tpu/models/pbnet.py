@@ -120,6 +120,11 @@ class PBNet(nn.Module):
         )
         return {
             "topo": topo,
+            "overflow_vox": jnp.maximum(
+                batch["vox_valid"].sum().astype(jnp.int32) - level0.cap, 0
+            ) + topo.level_overflow,
+            "overflow_grid": topo.grid_overflow
+            + (grid0.overflow if grid0 is not None else jnp.int32(0)),
             "point_feat_p": point_feat_p,
             "sem_pred_score_p": sem_score_p,
             "sem_soft_p": sem_soft_p,
@@ -360,9 +365,22 @@ class PBNet(nn.Module):
         pvalid2 = jnp.arange(P) < num_final
         clt_scores = self.linear_IOU(gfeat, pvalid2, train)[:, 0]
 
+        # every stage's capacity-overrun diagnostics, for aux/scalars logging
+        overflow = {
+            "cluster_band": res.band_overflow,
+            "scene_points": jnp.maximum(total - T, 0),
+            "local_vox": jnp.maximum(q2["count"] - sh.local_voxel_caps[0], 0)
+            + topo2.level_overflow,
+            "local_grid": topo2.grid_overflow,
+            "score_vox": jnp.maximum(q3["count"] - sh.score_voxel_caps[0], 0)
+            + topo3.level_overflow,
+            "score_grid": topo3.grid_overflow,
+        }
+
         return {
             "cluster": res,
             "num_proposals": num_proposals,
+            "overflow": overflow,
             "scene_total": total,
             "scene_overflow": jnp.maximum(total - T, 0),
             # mask branch (pre-threshold scene points)
@@ -390,6 +408,8 @@ class PBNet(nn.Module):
             "sem_pred_score_p": bb["sem_pred_score_p"],
             "offset_pred_p": bb["offset_pred_p"],
             "point_ok": bb["point_ok"],
+            "overflow_vox": bb["overflow_vox"],
+            "overflow_grid": bb["overflow_grid"],
         }
         if with_instances:
             ret.update(self.instance_stage(batch, bb, with_labels, train))

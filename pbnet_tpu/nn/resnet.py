@@ -102,6 +102,39 @@ class StridedBasicBlock(nn.Module):
         return relu(y + skip)
 
 
+class StridedBottleneck(nn.Module):
+    """Bottleneck whose 3x3 conv is strided (stage entry), expansion 4
+    (ME resnet_block.Bottleneck with stride=2 + downsample, used by
+    ResNet50/101, /root/reference/network/Mink.py:136-142)."""
+
+    planes: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, down_map, skip_map, k3_map, valid_out, train,
+                 valid_in=None):
+        del k3_map  # the strided conv IS the 3x3; in-stage k3 not needed here
+        if valid_in is None:  # feats rows are masked-0, so linear(0)=0 anyway
+            valid_in = jnp.ones(feats.shape[0], bool)
+        y = SparseLinear(self.planes, use_bias=False, name="conv1")(feats, valid_in)
+        y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid_in, train)
+        y = relu(y)
+        y = SparseConv(self.planes, down_map.shape[1], name="conv2")(
+            y, down_map, valid_out
+        )
+        y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid_out, train)
+        y = relu(y)
+        y = SparseLinear(self.planes * 4, use_bias=False, name="conv3")(y, valid_out)
+        y = MaskedBatchNorm(axis_name=self.axis_name, name="norm3")(y, valid_out, train)
+        skip = SparseConv(self.planes * 4, 1, name="downsample_conv")(
+            feats, skip_map, valid_out
+        )
+        skip = MaskedBatchNorm(axis_name=self.axis_name, name="downsample_norm")(
+            skip, valid_out, train
+        )
+        return relu(y + skip)
+
+
 class SparseResNet(nn.Module):
     """ResNetBase (/root/reference/network/Mink.py:14-117) on the TPU engine."""
 
@@ -117,8 +150,12 @@ class SparseResNet(nn.Module):
     @nn.compact
     def __call__(self, topo: ResNetTopology, feats, batch_ids_per_level,
                  train: bool, dropout_rng=None):
-        from .modules import BasicBlock
+        from .modules import BLOCKS
 
+        in_block = BLOCKS[self.block]
+        entry_block = (
+            StridedBottleneck if self.block == "bottleneck" else StridedBasicBlock
+        )
         lv = topo.levels
         v = [l.valid for l in lv]
         # stem: conv k3 s2 + InstanceNorm + ReLU + maxpool
@@ -130,12 +167,12 @@ class SparseResNet(nn.Module):
         x = sparse_ops.max_pool(x, topo.pool_map, v[1])
 
         for s in range(4):
-            x = StridedBasicBlock(
+            x = entry_block(
                 self.planes[s], axis_name=self.axis_name, name=f"layer{s+1}_0"
             )(x, topo.stage_down_maps[s], topo.stage_skip_maps[s],
               topo.stage_k3_maps[s], v[2 + s], train)
             for i in range(1, self.layers[s]):
-                x = BasicBlock(
+                x = in_block(
                     self.planes[s], axis_name=self.axis_name,
                     name=f"layer{s+1}_{i}",
                 )(x, topo.stage_k3_maps[s], v[2 + s], train)
@@ -164,8 +201,8 @@ RESNET_ARCHS = {
     "ResNet14": dict(layers=(1, 1, 1, 1)),
     "ResNet18": dict(layers=(2, 2, 2, 2)),
     "ResNet34": dict(layers=(3, 4, 6, 3)),
-    "ResNet50": dict(layers=(3, 4, 6, 3)),  # bottleneck variant approximated
-    "ResNet101": dict(layers=(3, 4, 23, 3)),
+    "ResNet50": dict(layers=(3, 4, 6, 3), block="bottleneck"),
+    "ResNet101": dict(layers=(3, 4, 23, 3), block="bottleneck"),
 }
 
 

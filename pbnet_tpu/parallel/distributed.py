@@ -29,6 +29,21 @@ def initialize(coordinator_address: str | None = None,
     return jax.process_index(), jax.process_count()
 
 
+def initialize_from_config(cfg) -> tuple[int, int]:
+    """Wire the reference's multi-node knobs (nodes/node_rank/tcp_port,
+    /root/reference/config/config.py:59-64; rank = node_rank per host,
+    /root/reference/train.py:321-324) into jax.distributed.
+
+    ``cfg.coordinator`` ('host:port') names process 0's rendezvous; with
+    ``nodes > 1`` but no coordinator, localhost:<tcp_port> is used — the same
+    (single-machine-only) default the reference hard-codes.
+    """
+    if cfg.nodes <= 1 and not cfg.coordinator:
+        return 0, 1
+    coord = cfg.coordinator or f"127.0.0.1:{cfg.tcp_port}"
+    return initialize(coord, num_processes=cfg.nodes, process_id=cfg.node_rank)
+
+
 def local_data_rank() -> tuple[int, int]:
     """Shard spec for per-host input pipelines."""
     return jax.process_index(), jax.process_count()

@@ -23,6 +23,13 @@ def make_mesh(num_devices: int = 0) -> Mesh:
     return Mesh(np.array(devs), (DATA_AXIS,))
 
 
+def local_device_count(mesh: Mesh) -> int:
+    """How many of this mesh's devices belong to THIS process (= how many
+    host batches this process feeds per step)."""
+    me = jax.process_index()
+    return sum(1 for d in mesh.devices.flatten() if d.process_index == me)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batches are stacked per-device along a leading axis -> shard axis 0."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -33,11 +40,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, host_batches: list) -> dict:
-    """Stack per-device host batches and device_put with the data sharding."""
+    """Stack per-device host batches and device_put with the data sharding.
+
+    Multi-host: each process passes its LOCAL device batches (one per local
+    mesh device); the global array is assembled across processes.
+    """
     stacked = {
         k: np.stack([b[k] for b in host_batches])
         for k in host_batches[0]
         if not isinstance(host_batches[0][k], (str, int))
     }
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, v)
+            for k, v in stacked.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in stacked.items()}

@@ -22,10 +22,16 @@ def main():
     random.seed(cfg.manual_seed)
     np.random.seed(cfg.manual_seed)
 
+    # multi-host rendezvous BEFORE any other JAX call (the reference's
+    # init_process_group equivalent, /root/reference/train.py:323)
+    from pbnet_tpu.parallel.distributed import initialize_from_config
+
+    rank, world = initialize_from_config(cfg)
+
     import jax
 
     ndev = cfg.num_devices or len(jax.devices())
-    cfg = cfg.replace(world_size=ndev, dist=ndev > 1)
+    cfg = cfg.replace(world_size=ndev, dist=ndev > 1, node_rank=rank, nodes=world)
     engine.train(cfg)
 
 
