@@ -20,6 +20,20 @@ Output coordinates of a stride-``s`` convolution are
 ``unique(floor(c / (ts*s)) * (ts*s))`` over the input coordinates — the same
 rule MinkowskiEngine applies for strided convolutions, which is what the
 MinkUNet encoder relies on (/root/reference/network/Mink.py:226-251).
+
+Performance design (measured on the axon TPU):
+* Scalar gathers are the expensive primitive (~100 ms per 12M from a 40 MB
+  table) but still the best available: windowed ``lax.gather``
+  (slice_sizes=(1, k)) lowers catastrophically (>1000x slower), and binary
+  search costs ~17 serial gather rounds.  Lookup indices are computed with
+  cheap BASE + static-delta arithmetic on a z-padded table (the pads hold
+  -1, making the z bound check free).
+* Transposed-conv maps are NOT looked up at all: the transpose kernel map is
+  the exact inverse of the forward strided map (``down[j,k]=i <=> up[i,k]=j``),
+  so 8 cheap column scatters replace 8*M scalar gathers.
+* Dense grids are built once per level per forward and REUSED by the stem,
+  k3, and down maps, the voxel->point map, and the per-proposal composite
+  grids of the local-scene / ScoreNet topologies.
 """
 
 from __future__ import annotations
@@ -27,6 +41,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,29 +123,39 @@ def downsample(level: SparseLevel, s: int, cap: int) -> SparseLevel:
     )
 
 
+# Z padding of the dense occupancy table: leaves room for z-window gathers of
+# any supported kernel (max k//2 = 2 for the k=5 stem) without bound checks.
+Z_PAD = 2
+
+
 @flax.struct.dataclass
 class DenseGrid:
     """Dense voxel-occupancy lookup table for one SparseLevel.
 
-    Maps a coordinate directly to its row index with ONE gather — the
-    replacement for the 17-round binary search, whose serial HBM gathers
-    dominated topology-build latency (~54M gathered elements/s on v5e).
-    Memory: prod(dims)/stride^3 int32, transient per build.
+    Layout: ``table`` is (R + 1, Zp) int32 where R = B * Xs * Ys rows of the
+    (batch, x, y) space, ``Zp = Zs + 2*Z_PAD`` columns of z (padded by -1 on
+    both sides), and row R is an all ``-1`` dummy for out-of-extent queries.
+    Every lookup is one scalar gather whose flat index is base + static
+    delta; the z pads make out-of-range z reads return -1 without a branch.
     """
 
-    table: jnp.ndarray  # (B * X/s * Y/s * Z/s,) int32 row ids, -1 = empty
+    table: jnp.ndarray  # (R + 1, Zp) int32 row ids, -1 = empty
     overflow: jnp.ndarray  # () int32: valid voxels outside the extent
-    dims: tuple = flax.struct.field(pytree_node=False)  # (B, X/s, Y/s, Z/s)
+    dims: tuple = flax.struct.field(pytree_node=False)  # (B, Xs, Ys, Zs)
     stride: int = flax.struct.field(pytree_node=False)
 
     def lookup(self, coords4, qvalid):
         return grid_lookup(self, coords4, qvalid)
 
 
+def _grid_dims(extent: tuple, s: int) -> tuple:
+    return (extent[0], -(-extent[1] // s), -(-extent[2] // s), -(-extent[3] // s))
+
+
 def build_grid(level: SparseLevel, extent: tuple) -> DenseGrid:
     """extent: (B, X, Y, Z) in stride-1 voxel units (static)."""
     s = level.stride
-    dims = (extent[0], -(-extent[1] // s), -(-extent[2] // s), -(-extent[3] // s))
+    dims = _grid_dims(extent, s)
     c = level.coords
     q = c[:, 1:] // s
     b = c[:, 0]
@@ -140,18 +165,21 @@ def build_grid(level: SparseLevel, extent: tuple) -> DenseGrid:
         & jnp.all(q >= 0, axis=1)
         & (q[:, 0] < dims[1]) & (q[:, 1] < dims[2]) & (q[:, 2] < dims[3])
     )
-    size = dims[0] * dims[1] * dims[2] * dims[3]
-    flat = ((b * dims[1] + q[:, 0]) * dims[2] + q[:, 1]) * dims[3] + q[:, 2]
+    nrows = dims[0] * dims[1] * dims[2]
+    zp = dims[3] + 2 * Z_PAD
+    size = (nrows + 1) * zp
+    row = (b * dims[1] + q[:, 0]) * dims[2] + q[:, 1]
+    flat = row * zp + q[:, 2] + Z_PAD
     rows = jnp.arange(level.cap, dtype=jnp.int32)
-    table = jnp.full((size + 1,), -1, jnp.int32).at[
-        jnp.where(ok, flat, size)
-    ].set(rows)[:size]
+    table = jnp.full((size,), -1, jnp.int32).at[
+        jnp.where(ok, flat, size - 1)
+    ].set(jnp.where(ok, rows, -1), mode="drop").reshape(nrows + 1, zp)
     overflow = jnp.sum((level.valid & ~ok).astype(jnp.int32))
     return DenseGrid(table=table, overflow=overflow, dims=dims, stride=s)
 
 
 def grid_lookup(grid: DenseGrid, coords4: jnp.ndarray, qvalid: jnp.ndarray):
-    """coords4 (Q, 4) raw coordinates -> (idx, found)."""
+    """coords4 (Q, 4) raw coordinates -> (idx, found). One scalar gather."""
     s = grid.stride
     dims = grid.dims
     b = coords4[:, 0]
@@ -164,11 +192,52 @@ def grid_lookup(grid: DenseGrid, coords4: jnp.ndarray, qvalid: jnp.ndarray):
         & jnp.all(q >= 0, axis=1)
         & (q[:, 0] < dims[1]) & (q[:, 1] < dims[2]) & (q[:, 2] < dims[3])
     )
-    size = dims[0] * dims[1] * dims[2] * dims[3]
-    flat = ((b * dims[1] + q[:, 0]) * dims[2] + q[:, 1]) * dims[3] + q[:, 2]
-    row = jnp.take(grid.table, jnp.where(ok, flat, 0), axis=0, mode="clip")
-    found = ok & (row >= 0)
-    return jnp.where(found, row, 0).astype(jnp.int32), found
+    zp = grid.dims[3] + 2 * Z_PAD
+    row = (b * dims[1] + q[:, 0]) * dims[2] + q[:, 1]
+    flat = jnp.where(ok, row * zp + q[:, 2] + Z_PAD, 0)
+    tbl = grid.table.reshape(-1)
+    val = jnp.take(tbl, flat, axis=0, mode="clip")
+    found = ok & (val >= 0)
+    return jnp.where(found, val, 0).astype(jnp.int32), found
+
+
+def grid_offsets_lookup(
+    grid: DenseGrid,
+    coords4: jnp.ndarray,  # (M, 4) out-voxel coords (absolute units)
+    valid: jnp.ndarray,  # (M,) bool
+    offs: np.ndarray,  # (K, 3) static offsets, absolute units (stride-aligned)
+) -> jnp.ndarray:
+    """(M, K) input-row table for all kernel offsets, one scalar gather each.
+
+    Flat indices are BASE + static-delta arithmetic on the padded-z table —
+    no per-offset coordinate packing, and the z bound check is free (the
+    z pads hold -1).  NOTE: a windowed lax.gather (slice_sizes=(1, k)) looks
+    cheaper but lowers catastrophically on TPU (>1000x slower) — scalar
+    gathers are the fastest available lookup primitive here.
+    """
+    s = grid.stride
+    dims = grid.dims
+    nrows = dims[0] * dims[1] * dims[2]
+    zp = dims[3] + 2 * Z_PAD
+    offs_t = np.asarray(offs) // s  # table units; offsets divide stride
+    b = coords4[:, 0]
+    qx = coords4[:, 1] // s
+    qy = coords4[:, 2] // s
+    qz = coords4[:, 3] // s
+    base_ok = valid & (b >= 0) & (b < dims[0])
+    ox = qx[:, None] + offs_t[None, :, 0]  # (M, K)
+    oy = qy[:, None] + offs_t[None, :, 1]
+    oz = qz[:, None] + offs_t[None, :, 2] + Z_PAD
+    ok = (
+        base_ok[:, None]
+        & (ox >= 0) & (ox < dims[1])
+        & (oy >= 0) & (oy < dims[2])
+        & (oz >= 0) & (oz < zp)
+    )
+    flat = ((b[:, None] * dims[1] + ox) * dims[2] + oy) * zp + oz
+    flat = jnp.where(ok, flat, (nrows + 1) * zp - 1)  # last dummy cell = -1
+    val = jnp.take(grid.table.reshape(-1), flat, axis=0, mode="clip")
+    return val  # (M, K), -1 = missing
 
 
 @flax.struct.dataclass
@@ -202,16 +271,37 @@ class PidGrid:
         found2 = found & (row >= 0)
         return jnp.where(found2, row, 0).astype(jnp.int32), found2
 
+    def offsets_lookup(self, coords4, valid, offs):
+        """Composite per-offset lookup: spatial grid -> pid table."""
+        pid = coords4[:, 0]
+        ok = valid & (pid >= 0) & (pid < self.pid_cap)
+        b = jnp.take(self.pid_batch, jnp.clip(pid, 0, self.pid_cap - 1))
+        sc = jnp.concatenate([b[:, None], coords4[:, 1:]], axis=1)
+        g = grid_offsets_lookup(self.spatial, sc, ok, offs)  # (M, K) ranks
+        found = g >= 0
+        flat = jnp.where(
+            found, pid[:, None] * self.main_cap + g,
+            self.pid_cap * self.main_cap,
+        )
+        row = jnp.take(self.table, jnp.minimum(flat, self.table.shape[0] - 1),
+                       axis=0, mode="clip")
+        return jnp.where(found & (row >= 0), row, -1)
+
 
 def build_pid_grid(level: SparseLevel, main_level: SparseLevel,
-                   extent: tuple, pid_batch: jnp.ndarray,
+                   extent_or_grid, pid_batch: jnp.ndarray,
                    pid_cap: int) -> PidGrid:
     """Build the composite grid for a per-proposal level.
 
     ``main_level``: the main-scene level at the same stride; ``pid_batch``:
-    proposal -> scene-batch map.
+    proposal -> scene-batch map.  ``extent_or_grid`` is either the static
+    extent tuple or an already-built main-level DenseGrid (reuse — grids are
+    expensive enough to build only once per forward).
     """
-    spatial = build_grid(main_level, extent)
+    if isinstance(extent_or_grid, DenseGrid):
+        spatial = extent_or_grid
+    else:
+        spatial = build_grid(main_level, extent_or_grid)
     main_cap = main_level.cap
     pid = level.coords[:, 0]
     ok = level.valid & (pid >= 0) & (pid < pid_cap)
@@ -230,50 +320,72 @@ def build_pid_grid(level: SparseLevel, main_level: SparseLevel,
 
 def conv_map(
     out_level: SparseLevel, in_level: SparseLevel, k: int,
-    grid: "DenseGrid | None" = None,
+    grid=None,
 ) -> jnp.ndarray:
     """Kernel map for a (possibly strided) convolution.
 
     Input voxel for output ``o`` and offset ``d`` sits at ``o + d * ts_in``.
-    Covers stride-1 convs (out_level is in_level), strided convs (out_level is
-    the downsampled level), and *transposed* convs: pass the cached finer
-    level as ``out_level`` and query keys ``o + d*ts_out``; a coarse voxel
-    only matches when ``o + d*ts_out`` lies on the coarse grid, which
-    reproduces ME's transpose-conv kernel map (cf.
-    /root/reference/network/Mink.py:253-276).
+    Covers stride-1 convs (out_level is in_level) and strided convs
+    (out_level is the downsampled level).  For transposed convs use
+    :func:`invert_map` on the forward strided map.
 
-    For a transposed conv, offsets are *negated*: ME's transpose kernel map is
-    the reverse of the forward map ``fine = coarse + d*ts_fine``, i.e.
-    ``coarse = fine - d*ts_fine``.  Use :func:`conv_transpose_map`.
+    With a grid, each offset is one scalar gather with base+delta index
+    arithmetic; without one, a binary-search lookup per offset.
 
     Returns (M_out, K^3) int32 indices into in_level rows, -1 = missing.
     """
+    if grid is not None:
+        offs = kernel_offsets(k) * in_level.stride
+        if isinstance(grid, PidGrid):
+            return grid.offsets_lookup(out_level.coords, out_level.valid, offs)
+        return grid_offsets_lookup(grid, out_level.coords, out_level.valid, offs)
     offs = kernel_offsets(k) * in_level.stride
-    return _lookup_offsets(out_level, in_level, offs, grid)
+    return _lookup_offsets(out_level, in_level, offs)
 
 
 def conv_transpose_map(
     out_level: SparseLevel, in_level: SparseLevel, k: int,
-    grid: "DenseGrid | None" = None,
+    grid=None,
 ) -> jnp.ndarray:
     """Kernel map for a transposed convolution (coarse -> cached fine level).
 
     Offset ``d`` (in fine-stride units) contributes ``in[fine - d*ts_fine]``;
     the weight at index ``d`` is the same one the forward strided conv would
-    use for ``fine = coarse + d*ts_fine``.
+    use for ``fine = coarse + d*ts_fine``.  Prefer :func:`invert_map` of the
+    forward map (pure scatters); this direct lookup is the fallback when no
+    forward map exists.
     """
+    del grid  # misaligned queries cannot use z-windows; binary search only
     offs = -kernel_offsets(k) * out_level.stride
-    return _lookup_offsets(out_level, in_level, offs, grid)
+    return _lookup_offsets(out_level, in_level, offs)
+
+
+def invert_map(kmap: jnp.ndarray, in_cap: int) -> jnp.ndarray:
+    """Invert a kernel map: ``out[j, k] = i  <=>  kmap[i, k] = j``.
+
+    The transpose-conv map is exactly the inverse of the forward strided-conv
+    map (same offset enumeration), so K column scatters replace K*M lookups.
+    """
+    K = kmap.shape[1]
+    m = kmap.shape[0]
+    rows = jnp.arange(m, dtype=jnp.int32)
+    cols = []
+    for kk in range(K):
+        j = kmap[:, kk]
+        col = jnp.full((in_cap + 1,), -1, jnp.int32).at[
+            jnp.where(j >= 0, j, in_cap)
+        ].set(jnp.where(j >= 0, rows, -1))[:in_cap]
+        cols.append(col)
+    return jnp.stack(cols, axis=1)  # (in_cap, K)
 
 
 def _lookup_offsets(
     out_level: SparseLevel, in_level: SparseLevel, offs: np.ndarray,
-    grid: "DenseGrid | None" = None,
 ) -> jnp.ndarray:
+    """Binary-search fallback used when no dense grid is available."""
     m = out_level.cap
     K = offs.shape[0]
     base = out_level.coords  # (M, 4)
-    # (M, K, 4) query coordinates
     q = base[:, None, :] + jnp.concatenate(
         [jnp.zeros((K, 1), jnp.int32), jnp.asarray(offs)], axis=1
     )[None, :, :]
@@ -284,11 +396,8 @@ def _lookup_offsets(
     qvalid = jnp.all(qflat[:, 1:] >= 0, axis=1) & jnp.repeat(
         out_level.valid, K, total_repeat_length=m * K
     )
-    if grid is not None:
-        idx, found = grid.lookup(qflat, qvalid)
-    else:
-        qhi, qlo = ck.pack(qflat, qvalid)
-        idx, found = ck.lookup(in_level.hi, in_level.lo, qhi, qlo)
+    qhi, qlo = ck.pack(qflat, qvalid)
+    idx, found = ck.lookup(in_level.hi, in_level.lo, qhi, qlo)
     idx = jnp.where(found, idx, -1)
     return idx.reshape(m, K)
 
@@ -320,6 +429,9 @@ class UNetTopology:
     k3_maps: tuple  # per level: (M_l, 27) stride-1 k=3 map
     down_maps: tuple  # l -> l+1: (M_{l+1}, 8) k=2 s=2 conv map
     up_maps: tuple  # l+1 -> l: (M_l, 8) k=2 s=2 transpose map
+    # per-level lookup grids (DenseGrid/PidGrid or None); reused by callers
+    # for the voxel->point map and the per-proposal composite grids
+    grids: tuple = ()
     # () int32 diagnostics: voxels beyond level caps / outside grid extents
     level_overflow: jnp.ndarray = 0
     grid_overflow: jnp.ndarray = 0
@@ -340,10 +452,10 @@ def build_unet_topology(
     by every residual block at that stride — the kernel-map reuse that drives
     sparse-conv throughput.
 
-    ``extent`` (B, X, Y, Z): when given, lookups use a dense occupancy grid
-    (one gather) instead of binary search (~17 serial gathers) — an order of
-    magnitude faster on TPU.  Coordinates beyond the extent fall back to
-    "missing" and are counted in the per-level grid overflow.
+    ``extent`` (B, X, Y, Z): when given, per-level dense occupancy grids are
+    built once and all kernel maps use z-window gathers (see module
+    docstring).  ``grids`` may instead supply prebuilt grids (list) or a
+    callable ``level -> grid``.  Without either, binary search (slow).
     """
     levels = [level0]
     for l in range(1, num_levels):
@@ -359,8 +471,7 @@ def build_unet_topology(
         for l in range(num_levels - 1)
     )
     up = tuple(
-        conv_transpose_map(levels[l], levels[l + 1], 2, grids[l + 1])
-        for l in range(num_levels - 1)
+        invert_map(down[l], levels[l].cap) for l in range(num_levels - 1)
     )
     stem = conv_map(levels[0], levels[0], stem_k, grids[0])
     level_overflow = sum(
@@ -371,7 +482,7 @@ def build_unet_topology(
     )
     return UNetTopology(
         levels=tuple(levels), stem_map=stem, k3_maps=k3,
-        down_maps=down, up_maps=up,
+        down_maps=down, up_maps=up, grids=tuple(grids),
         level_overflow=jnp.int32(level_overflow),
         grid_overflow=jnp.int32(grid_overflow),
     )

@@ -97,10 +97,7 @@ class PBNet(nn.Module):
         offset_v = self.linear_offset(point_feat_v, v0, train)  # (V, 3)
 
         pvalid = batch["point_valid"]
-        grid0 = (
-            tp.build_grid(topo.levels[0], sh.grid_extent)
-            if sh.grid_extent is not None else None
-        )
+        grid0 = topo.grids[0] if topo.grids else None  # reuse, never rebuild
         v2p = tp.point_to_voxel_map(
             topo.levels[0], batch["xyz"], batch["point_batch"], pvalid,
             self.voxel_size, grid=grid0,
@@ -288,12 +285,16 @@ class PBNet(nn.Module):
             jnp.where(scene_c, pid_of_cluster, C)
         ].set(jnp.clip(cbatch, 0, 63))[:C]
         main_levels = bb["topo"].levels
+        main_grids = bb["topo"].grids
 
         def local_grids(lv):
             if not use_composite:
                 return None
-            main = main_levels[int(np.log2(lv.stride))]
-            return tp.build_pid_grid(lv, main, sh.grid_extent, pid_batch, C)
+            l = int(np.log2(lv.stride))
+            # reuse the backbone's spatial grid at this stride
+            return tp.build_pid_grid(
+                lv, main_levels[l], main_grids[l], pid_batch, C
+            )
 
         topo2 = tp.build_unet_topology(
             lv2, list(sh.local_voxel_caps), grids=local_grids
@@ -350,8 +351,10 @@ class PBNet(nn.Module):
         def score_grids(lv):
             if not use_comp3:
                 return None
-            main = main_levels[int(np.log2(lv.stride))]
-            return tp.build_pid_grid(lv, main, sh.grid_extent, batch_of_pid2, P)
+            l = int(np.log2(lv.stride))
+            return tp.build_pid_grid(
+                lv, main_levels[l], main_grids[l], batch_of_pid2, P
+            )
 
         topo3 = tp.build_unet_topology(
             lv3, list(sh.score_voxel_caps), grids=score_grids

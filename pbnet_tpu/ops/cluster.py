@@ -8,12 +8,10 @@ pbnet_ops.py:12-82) with a fully data-parallel, static-shape algorithm:
 reference pipeline                      TPU-native equivalent
 ------------------------------------    ---------------------------------------
 thrust sort by L1 norm (binary.cu:49)   lax.sort by (group, l1) pair
-k_num_nbs shared-mem window scan        banded chunk scan (lax.scan) over the
-  (binary_cuda_functions.cu:29-89)        sorted order; windows are CONTIGUOUS
-                                          dynamic slices anchored at each
-                                          chunk's true lower bound (TPU:
-                                          slices stream at HBM bandwidth,
-                                          random gathers do not)
+k_num_nbs shared-mem window scan        BATCHED banded windows: all (chunk, W)
+  (binary_cuda_functions.cu:29-89)        tiles evaluated in one fused
+                                          elementwise+reduce op (no serial
+                                          scan; VPU tiles the whole tensor)
 k_identify_HPs (min_pts)                density >= min_pts mask
 host-loop BFS per seed (binary.cu:154)  min-label propagation + pointer
                                           jumping over HP-HP edges (equivalent
@@ -24,8 +22,9 @@ border-point assignment (BFS visit,     LP within radius of >=1 HP adopts the
                                           BFS seed in the reference's order)
 filter small clusters (binary.cu:219)   size < para_f*count_mean[sem] demoted,
                                           ids compacted order-preserving
-assigned_LPs 1-NN same-class            masked chunked argmin over original
-  (binary_cuda_functions.cu:258-302)      coords
+assigned_LPs 1-NN same-class            one fused masked argmin over original
+  (binary_cuda_functions.cu:258-302)      coords (later index wins ties, as
+                                          the CUDA `dist <= best` loop does)
 get_clt_center running mean             segment mean of shifted coords
   (binary_cuda_functions.cu:217-246)
 
@@ -36,9 +35,16 @@ looping classes then batch items then scanning seeds in index order
 
 Exactness: a point's true neighbor window is [lb, ub) in the (group, l1)
 order (|l1_i - l1_j| <= 2r for any neighbor pair, the same pruning bound the
-reference's kernels use).  Each chunk's slice starts at the chunk's first
+reference's kernels use).  Each chunk's window starts at the chunk's first
 row's lb; neighbors are missed only when a chunk's combined window exceeds
 ``band`` columns — counted in ``band_overflow``, never silent.
+
+Performance notes (measured on the axon TPU, round 2): `lax.sort` is ~free
+amortized (<1 ms at 300k) while serial `lax.scan` steps and scalar gathers
+are the expensive primitives.  Hence: window bounds come from a merge-sort
+based searchsorted (2 sorts) instead of a binary search (18 serial gather
+rounds), and every banded pass evaluates all (nchunks, chunk, W) tiles in one
+fused op instead of scanning chunks.
 
 Semantics notes (verified against the CUDA source):
 * density excludes the point itself (k_num_nbs `ans - 1`); the python wrapper
@@ -83,27 +89,33 @@ def _group_l1_sort(shifted, group, valid):
     return g_s, l1_s, perm_s
 
 
-def _search_group_l1(g_s, l1_s, qg, ql1, side):
-    """Vectorized binary search for (group, l1) pairs in the sorted order."""
+def _merge_searchsorted(g_s, l1_s, qg, ql1, side):
+    """searchsorted on (group, l1) pairs via ONE merge sort.
+
+    Returns, per query, the count of keys < query (side='left') or
+    <= query (side='right').  Two ~free sorts replace the former 18-round
+    binary search whose serial scalar gathers dominated latency.
+    """
     n = g_s.shape[0]
-    iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        mid_c = jnp.minimum(mid, n - 1)
-        mg, ml = g_s[mid_c], l1_s[mid_c]
-        if side == "left":
-            less = (mg < qg) | ((mg == qg) & (ml < ql1))
-        else:
-            less = (mg < qg) | ((mg == qg) & (ml <= ql1))
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(
-        0, iters, body,
-        (jnp.zeros(qg.shape, jnp.int32), jnp.full(qg.shape, n, jnp.int32)),
-    )
-    return lo
+    q = qg.shape[0]
+    g_all = jnp.concatenate([g_s, qg])
+    l_all = jnp.concatenate([l1_s, ql1])
+    # tie-break tag: side='left' -> queries sort BEFORE equal keys
+    key_tag = jnp.int32(1 if side == "left" else 0)
+    q_tag = jnp.int32(1) - key_tag
+    tags = jnp.concatenate([
+        jnp.full((n,), key_tag), jnp.full((q,), q_tag)
+    ])
+    pay = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.arange(q, dtype=jnp.int32) + n,
+    ])
+    _, _, _, ps2 = jax.lax.sort((g_all, l_all, tags, pay), num_keys=3)
+    is_key = (ps2 < n).astype(jnp.int32)
+    keys_before = jnp.cumsum(is_key) - is_key  # exclusive prefix count
+    # restore query order (payload n..n+q-1 identifies queries)
+    _, res_q = jax.lax.sort((ps2, keys_before), num_keys=1)
+    return res_q[n:]
 
 
 @functools.partial(
@@ -123,7 +135,7 @@ def binary_cluster(
     nv_flag: bool = True,
     cluster_cap: int = 384,
     band: int = 4096,
-    chunk: int = 256,
+    chunk: int = 1024,
     prop_iters: int = 10,
 ) -> ClusterResult:
     n = shifted.shape[0]
@@ -136,9 +148,9 @@ def binary_cluster(
     valid_s = valid[perm]
     r2 = jnp.float32(radius * radius)
 
-    # exact per-row window bounds in the sorted order
-    lb = _search_group_l1(g_s, l1_s, g_s, l1_s - 2 * radius, "left")
-    ub = _search_group_l1(g_s, l1_s, g_s, l1_s + 2 * radius, "right")
+    # exact per-row window bounds in the sorted order (merge searchsorted)
+    lb = _merge_searchsorted(g_s, l1_s, g_s, l1_s - 2 * radius, "left")
+    ub = _merge_searchsorted(g_s, l1_s, g_s, l1_s + 2 * radius, "right")
 
     nchunks = (n + chunk - 1) // chunk
     npad = nchunks * chunk
@@ -164,45 +176,51 @@ def binary_cluster(
     g_p = pad_to(g_s, INF_I32)
     valid_p = pad_to(valid_s, False)
 
-    def window(arr, c):
-        """Contiguous W-wide column window for chunk c (dynamic slice)."""
-        return jax.lax.dynamic_slice_in_dim(arr, anchor[c], W, axis=0)
+    # batched window gathers: (nchunks, W) indices into the padded order
+    w_idx = anchor[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
 
-    def rows_of(arr, c):
-        return jax.lax.dynamic_slice_in_dim(arr, c * chunk, chunk, axis=0)
+    def win(arr):
+        """(npad, ...) -> (nchunks, W, ...) banded window views."""
+        return jnp.take(arr, w_idx, axis=0)
 
-    def nbr_mask(c):
-        """(chunk, W) neighbor mask for chunk c (excl. self)."""
-        rp = rows_of(pos_p, c)
-        rg = rows_of(g_p, c)
-        rv = rows_of(valid_p, c)
-        cp = window(pos_p, c)
-        cg = window(g_p, c)
-        cv = window(valid_p, c)
-        d = rp[:, None, :] - cp[None, :, :]
-        d2 = jnp.sum(d * d, axis=-1)
-        rows_idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        cols_idx = anchor[c] + jnp.arange(W, dtype=jnp.int32)
-        m = (
+    # row-side tiles are plain reshapes (chunks tile the padded order)
+    rx, ry, rz = (pos_p[:, a].reshape(nchunks, chunk) for a in range(3))
+    rg = g_p.reshape(nchunks, chunk)
+    rv = valid_p.reshape(nchunks, chunk)
+    rows_idx = jnp.arange(npad, dtype=jnp.int32).reshape(nchunks, chunk)
+
+    cp = win(pos_p)  # (nchunks, W, 3)
+    cx, cy, cz = cp[:, :, 0], cp[:, :, 1], cp[:, :, 2]
+    cg = win(g_p)
+    cv = win(valid_p)
+    cols_idx = w_idx
+
+    def nbr_mask():
+        """(nchunks, chunk, W) neighbor mask (excl. self).
+
+        The squared distance is UNROLLED over x/y/z (no inner reduction) so
+        the whole mask is a pure-elementwise producer of each consuming
+        reduction — XLA fuses it into tiles; a `sum(d*d, -1)` inner reduce
+        makes XLA materialize the (nchunks, chunk, W) tensor (2.4 GB here).
+        """
+        dx = rx[:, :, None] - cx[:, None, :]
+        dy = ry[:, :, None] - cy[:, None, :]
+        dz = rz[:, :, None] - cz[:, None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        return (
             (d2 <= r2)
-            & (rg[:, None] == cg[None, :])
-            & cv[None, :]
-            & rv[:, None]
-            & (rows_idx[:, None] != cols_idx[None, :])
+            & (rg[:, :, None] == cg[:, None, :])
+            & cv[:, None, :]
+            & rv[:, :, None]
+            & (rows_idx[:, :, None] != cols_idx[:, None, :])
         )
-        return m
 
     # ---- pass 1: density ----
-    def density_body(_, c):
-        m = nbr_mask(c)
-        return None, jnp.sum(m, axis=1).astype(jnp.int32)
-
-    _, dens_chunks = jax.lax.scan(
-        density_body, None, jnp.arange(nchunks, dtype=jnp.int32)
-    )
-    density_s = dens_chunks.reshape(-1)[:n]
+    density_s = jnp.sum(nbr_mask(), axis=2).reshape(npad)[:n].astype(jnp.int32)
     hp_s = (density_s >= min_pts) & valid_s
     hp_p = pad_to(hp_s, False)
+    hp_w = win(hp_p)  # (nchunks, W), static across prop iterations
+    hp_r = hp_p.reshape(nchunks, chunk)
 
     # ---- pass 2: min-label propagation over HP-HP edges ----
     init_label_p = pad_to(
@@ -210,18 +228,12 @@ def binary_cluster(
     )
 
     def prop_once(label_p):
-        def body(_, c):
-            m = nbr_mask(c) & window(hp_p, c)[None, :]
-            nbr_lab = jnp.where(m, window(label_p, c)[None, :], INF_I32)
-            best = jnp.min(nbr_lab, axis=1)
-            cur = rows_of(label_p, c)
-            new = jnp.where(rows_of(hp_p, c), jnp.minimum(cur, best), cur)
-            return None, new
-
-        _, lab_chunks = jax.lax.scan(
-            body, None, jnp.arange(nchunks, dtype=jnp.int32)
-        )
-        return lab_chunks.reshape(-1)
+        m = nbr_mask() & hp_w[:, None, :]
+        nbr_lab = jnp.where(m, win(label_p)[:, None, :], INF_I32)
+        best = jnp.min(nbr_lab, axis=2)
+        cur = label_p.reshape(nchunks, chunk)
+        new = jnp.where(hp_r, jnp.minimum(cur, best), cur)
+        return new.reshape(npad)
 
     def jump(label):
         tgt = jnp.clip(label, 0, n - 1)
@@ -229,8 +241,7 @@ def binary_cluster(
         return jnp.minimum(label, hop)
 
     def prop_body(_, label_p):
-        lab = prop_once(label_p)  # already npad long
-        return jump(jump(lab))
+        return jump(jump(prop_once(label_p)))
 
     label_p = jax.lax.fori_loop(0, prop_iters, prop_body, init_label_p)
     label_s = label_p[:n]  # HP -> root (sorted index); LP/invalid -> INF
@@ -241,8 +252,7 @@ def binary_cluster(
         jnp.where(hp_s, perm, INF_I32), root_seg, num_segments=n + 1
     )
 
-    # per-point "first original index of my component" (one gather, reused by
-    # the border pass through contiguous windows)
+    # per-point "first original index of my component"
     first_of_point = jnp.where(
         hp_s, comp_first_orig[jnp.clip(label_s, 0, n)], -1
     ).astype(jnp.int32)
@@ -250,20 +260,13 @@ def binary_cluster(
 
     # ---- border LPs: adopt the component with the LARGEST first-original
     # index among HP neighbors (last-BFS-wins, binary.cu:206-213) ----
-    def border_body(_, c):
-        m = nbr_mask(c) & window(hp_p, c)[None, :]
-        nbr_first = jnp.where(m, window(first_p, c)[None, :], -1)
-        nbr_root = window(label_p, c)
-        best_first = jnp.max(nbr_first, axis=1)  # -1 if no HP neighbor
-        amax = jnp.argmax(nbr_first, axis=1)
-        best_root = nbr_root[amax]
-        return None, (best_first, best_root)
-
-    _, (bf_chunks, br_chunks) = jax.lax.scan(
-        border_body, None, jnp.arange(nchunks, dtype=jnp.int32)
-    )
-    border_first = bf_chunks.reshape(-1)[:n]
-    border_root = br_chunks.reshape(-1)[:n]
+    m = nbr_mask() & hp_w[:, None, :]
+    nbr_first = jnp.where(m, win(first_p)[:, None, :], -1)
+    best_first = jnp.max(nbr_first, axis=2)  # -1 if no HP neighbor
+    amax = jnp.argmax(nbr_first, axis=2)  # (nchunks, chunk)
+    best_root = jnp.take_along_axis(win(label_p), amax, axis=1)
+    border_first = best_first.reshape(npad)[:n]
+    border_root = best_root.reshape(npad)[:n]
     is_border = (~hp_s) & valid_s & (border_first >= 0)
     root_all = jnp.where(hp_s, label_s, jnp.where(is_border, border_root, INF_I32))
 
@@ -315,9 +318,8 @@ def binary_cluster(
     if nv_flag:
         need = (~assigned) & valid_s
         # compact the points needing assignment into a static quarter-size
-        # row block: the full N x N scan dominated clustering latency, and
-        # with trained offsets the unassigned fraction is small.  Overflow is
-        # left unassigned (conservative) — detectable via cluster sizes.
+        # row block: with trained offsets the unassigned fraction is small.
+        # Overflow is left unassigned (conservative) — detectable via sizes.
         noise_cap = min(max(256, npad // 4), n)
         need_key = jnp.where(need, 0, 1).astype(jnp.int32)
         srt_key, noise_rows = jax.lax.sort(
@@ -331,40 +333,24 @@ def binary_cluster(
         orig_p = pad_to(orig_s, 1e9)
         assigned_p = pad_to(assigned, False)
         cid_p = pad_to(cid_filtered, -1)
-        num_noise = jnp.sum(need.astype(jnp.int32))
 
-        def nn_scan(_):
-            def nn_body(carry, c):
-                best_d, best_cid = carry
-                cpos = rows_of(orig_p, c)  # candidate chunk (contiguous)
-                cg = rows_of(g_p, c)
-                cok = rows_of(assigned_p, c)
-                ccid = rows_of(cid_p, c)
-                d = q_pos[:, None, :] - cpos[None, :, :]
-                d2 = jnp.sum(d * d, axis=-1)
-                m = cok[None, :] & (cg[None, :] == q_g[:, None])
-                d2 = jnp.where(m, d2, jnp.inf)
-                j = jnp.argmin(d2, axis=1)
-                dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
-                cbest = ccid[j]
-                upd = dmin <= best_d  # <=: later candidate wins ties (ref)
-                return (
-                    jnp.where(upd, dmin, best_d),
-                    jnp.where(upd, cbest, best_cid),
-                ), None
+        # one fused masked argmin over ALL candidates; the reference's CUDA
+        # loop uses `dist <= best` so the LATER index wins ties — realized
+        # here by argmin over the reversed candidate axis.  Distances are
+        # unrolled over x/y/z (see nbr_mask) so the (noise, npad) tensor is
+        # never materialized (22 GB otherwise).
+        cxr, cyr, czr = (orig_p[::-1, a] for a in range(3))
+        dx = q_pos[:, None, 0] - cxr[None, :]
+        dy = q_pos[:, None, 1] - cyr[None, :]
+        dz = q_pos[:, None, 2] - czr[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        mok = assigned_p[::-1][None, :] & (g_p[::-1][None, :] == q_g[:, None])
+        d2m = jnp.where(mok, d2, jnp.inf)
+        jrev = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+        j = npad - 1 - jrev
+        found = jnp.take(assigned_p, j) & (jnp.take(g_p, j) == q_g)
+        best_cid = jnp.where(found, cid_p[j], -1)
 
-            (_, best_cid), _ = jax.lax.scan(
-                nn_body,
-                (jnp.full((noise_cap,), jnp.inf),
-                 jnp.full((noise_cap,), -1, jnp.int32)),
-                jnp.arange(nchunks, dtype=jnp.int32),
-            )
-            return best_cid
-
-        best_cid = jax.lax.cond(
-            num_noise > 0, nn_scan,
-            lambda _: jnp.full((noise_cap,), -1, jnp.int32), None,
-        )
         scatter_rows = jnp.where(noise_live, noise_rows, n)
         cid_final_s = jnp.zeros((n + 1,), jnp.int32).at[: n].set(
             cid_filtered
