@@ -49,31 +49,48 @@ def box_surface(rng, n, center, size):
 
 def make_scene(rng, n_pts=140_000):
     """Room-like SURFACE scene (points on planes/boxes + 5 mm sensor noise),
-    matching real ScanNet occupancy (~0.5 voxels/point at 2 cm)."""
-    pts = []
+    matching real ScanNet occupancy (~0.5 voxels/point at 2 cm).
+
+    Returns (xyz, sem, ins, centers): per-point semantic class (floor=0,
+    wall=1, objects 2..19), instance id (-100 for floor/wall), and per-
+    instance centers — the oracle labels let the bench drive stages 2/3
+    with realistic cluster/proposal counts (see main)."""
+    pts, sems, inss = [], [], []
     n_floor = int(n_pts * 0.35)
     floor = np.concatenate(
         [rng.rand(n_floor, 2) * 4.5, np.zeros((n_floor, 1))], 1
     )
     pts.append(floor)
+    sems.append(np.zeros(n_floor, np.int32))
+    inss.append(np.full(n_floor, -100, np.int32))
     n_wall = int(n_pts * 0.25)
     w = np.concatenate(
         [rng.rand(n_wall, 1) * 4.5, np.zeros((n_wall, 1)),
          rng.rand(n_wall, 1) * 2.5], 1
     )
     pts.append(w)
+    sems.append(np.ones(n_wall, np.int32))
+    inss.append(np.full(n_wall, -100, np.int32))
     remaining = n_pts - n_floor - n_wall
     n_obj = 14
     per = remaining // n_obj
+    centers = []
     for i in range(n_obj):
         c = np.array([0.4 + rng.rand() * 3.7, 0.4 + rng.rand() * 3.7,
                       0.3 + rng.rand() * 0.5])
         size = 0.3 + rng.rand(3) * 0.7
         pts.append(box_surface(rng, per, c, size))
+        sems.append(np.full(per, 2 + (i % 18), np.int32))
+        inss.append(np.full(per, i, np.int32))
+        centers.append(c)
     xyz = np.concatenate(pts)[:n_pts]
+    sem = np.concatenate(sems)[:n_pts]
+    ins = np.concatenate(inss)[:n_pts]
     xyz += rng.randn(*xyz.shape) * 0.002  # sensor noise
-    xyz -= xyz.min(0)
-    return xyz.astype(np.float32)
+    shift = xyz.min(0)
+    xyz -= shift
+    return (xyz.astype(np.float32), sem, ins,
+            np.asarray(centers, np.float32) - shift)
 
 
 def main():
@@ -98,7 +115,7 @@ def main():
         grid_extent=(1, 256, 256, 160),
     )
     rng = np.random.RandomState(0)
-    xyz = make_scene(rng)
+    xyz, sem_gt, ins_gt, obj_centers = make_scene(rng)
     vox, index, _ = sparse_quantize_np(xyz, 0.02)
     n, m = xyz.shape[0], vox.shape[0]
     print(f"scene: {n} points, {m} voxels", file=sys.stderr)
@@ -168,6 +185,94 @@ def main():
         f" proposals={int(out['num_final_proposals'])}",
         file=sys.stderr,
     )
+
+    # ---- evidence that stages 2/3 do real work on real content: drive the
+    # SAME compiled instance stage with oracle semantics/offsets derived from
+    # the scene's known objects (random weights predict chaotic semantics, so
+    # the class gate otherwise yields 0 clusters; latency itself is content-
+    # independent by static shapes) ----
+    from pbnet_tpu.models.pbnet import PBNet as _PBNet
+
+    sem_o = pad(sem_gt.astype(np.int32), P, -1)
+    center_of = np.zeros((P, 3), np.float32)
+    has_ins = ins_gt >= 0
+    center_of[:n][has_ins] = obj_centers[ins_gt[has_ins]]
+    offs_o = np.zeros((P, 3), np.float32)
+    offs_o[:n][has_ins] = center_of[:n][has_ins] - xyz[has_ins]
+    soft_o = np.full((P, 20), 0.05, np.float32)
+    soft_o[np.arange(P), np.clip(sem_o, 0, 19)] = 0.9
+
+    @jax.jit
+    def rigged(variables, batch, sem_o, offs_o, soft_o):
+        bb = model.apply(variables, batch, False, method=_PBNet.backbone)
+        bb = dict(bb)
+        bb["sem_pred_p"] = sem_o
+        bb["offset_pred_p"] = offs_o
+        bb["sem_soft_p"] = soft_o
+        ret = model.apply(variables, batch, bb, False, False,
+                          method=_PBNet.instance_stage)
+        return (ret["cluster"].num_clusters, ret["num_final_proposals"],
+                jnp.sum(ret["mask_scores"]))
+
+    nc, npr, ms = rigged(variables, batch, jnp.asarray(sem_o),
+                         jnp.asarray(offs_o), jnp.asarray(soft_o))
+    print(
+        f"oracle-driven instance stage: clusters={int(nc)} "
+        f"proposals={int(npr)} mask_sum={float(ms):.1f}",
+        file=sys.stderr,
+    )
+
+    # ---- secondary metric: full train-step latency (fwd+bwd+Adam) ----
+    import optax
+
+    from pbnet_tpu.models import losses as _L
+
+    ins_o = pad(ins_gt.astype(np.int32), P, -100)
+    info = np.full((P, 9), -100.0, np.float32)
+    info[:n, 0:3] = center_of[:n]
+    pointnum = np.zeros(128, np.int32)
+    for i in range(obj_centers.shape[0]):
+        pointnum[i] = int((ins_gt == i).sum())
+    tbatch = dict(batch)
+    tbatch.update(
+        sem_label=jnp.asarray(sem_o), ins_label=jnp.asarray(ins_o),
+        inst_info=jnp.asarray(info), instance_pointnum=jnp.asarray(pointnum),
+    )
+
+    class CL:
+        fg_thresh, bg_thresh = 0.95, 0.2
+
+    tx = optax.scale_by_adam()
+    opt = tx.init(variables["params"])
+
+    @jax.jit
+    def tstep(params, stats, opt, b):
+        def lf(p):
+            r, upd = model.apply(
+                {"params": p, "batch_stats": stats}, b, with_instances=True,
+                with_labels=True, train=True, mutable=["batch_stats"],
+            )
+            loss, aux = _L.model_fn(r, b, CL, True)
+            return loss, (aux, upd["batch_stats"])
+
+        (loss, (aux, ns)), g = jax.value_and_grad(lf, has_aux=True)(params)
+        u, opt2 = tx.update(g, opt, params)
+        p2 = optax.apply_updates(
+            params, jax.tree_util.tree_map(lambda x: -1e-3 * x, u)
+        )
+        return p2, ns, opt2, loss, optax.global_norm(g)
+
+    sp = {"params": variables["params"], "stats": variables["batch_stats"]}
+    p2, ns, opt2, loss, gn = tstep(sp["params"], sp["stats"], opt, tbatch)
+    _ = float(loss) + float(gn)  # force compile+run
+    t0 = time.time()
+    for _ in range(3):
+        p2, ns, opt2, loss, gn = tstep(sp["params"], sp["stats"], opt, tbatch)
+        _ = float(loss) + float(gn)
+    train_dt = (time.time() - t0) / 3
+    print(f"train_step_sec: {train_dt:.3f} (loss={float(loss):.3f})",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "inference_scenes_per_sec",
         "value": round(scenes_per_sec, 4),
