@@ -44,6 +44,28 @@ class StaticShapes:
     # stride-1 voxel units; None falls back to binary search
     grid_extent: Optional[Tuple[int, int, int, int]] = (4, 512, 512, 256)
 
+    def scaled(self, f: float) -> "StaticShapes":
+        """A size bucket: every point/voxel capacity scaled by ``f`` (rounded
+        up to TPU-friendly multiples), cluster/instance capacities and the
+        grid extent unchanged.  Small validation scenes run in a small bucket
+        so they do not pay worst-case latency (SURVEY §5: static-shape scene
+        buckets vs the reference's fully dynamic shapes,
+        /root/reference/datasets/scannetv2/dataset_preprocess.py:308-385)."""
+        if f == 1.0:
+            return self
+
+        def r(x, q):
+            return max(q, -int(-x * f // q) * q)
+
+        return dataclasses.replace(
+            self,
+            point_cap=r(self.point_cap, 4096),
+            voxel_caps=tuple(r(v, 512) for v in self.voxel_caps),
+            local_point_cap=r(self.local_point_cap, 4096),
+            local_voxel_caps=tuple(r(v, 512) for v in self.local_voxel_caps),
+            score_voxel_caps=tuple(r(v, 512) for v in self.score_voxel_caps),
+        )
+
 
 @dataclass
 class Config:
@@ -114,6 +136,10 @@ class Config:
 
     # ---- TPU static shapes ----
     shapes: StaticShapes = field(default_factory=StaticShapes)
+    # eval-time scene-size buckets, as scale factors of `shapes`; each
+    # val/test scene runs in the smallest bucket it fits (one XLA compile
+    # per bucket, amortized by the persistent compile cache)
+    eval_bucket_scales: Tuple[float, ...] = (0.4, 0.7, 1.0)
 
     # derived
     dist: bool = False
@@ -121,6 +147,12 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def eval_buckets(self) -> Tuple[StaticShapes, ...]:
+        """Ascending size buckets for eval collation (largest == `shapes`)."""
+        return tuple(
+            self.shapes.scaled(f) for f in sorted(set(self.eval_bucket_scales))
+        )
 
 
 def test_config() -> Config:

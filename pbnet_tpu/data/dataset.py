@@ -112,10 +112,46 @@ class Dataset:
             scenes.append((fn, xyz, rgb, nl, sem, ins))
         return self._collate(scenes)
 
+    def _fit_eval_scene(self, s, with_labels=True):
+        """Oversize fallback: if the 3 TTA copies of a scene would exceed the
+        largest eval bucket, spatially crop the BASE scene (identical subset
+        for every copy keeps the TTA fold index-aligned).  Returns keep index
+        (or None) and the original point count; the engine scatters
+        predictions back and counts dropped points against the metrics."""
+        n = s["xyz"].shape[0]
+        p_max = self.cfg.eval_buckets()[-1].point_cap
+        if 3 * n <= p_max:
+            return s, None, n
+        xyz0 = s["xyz"] - s["xyz"].min(0)
+        _, valid = augment.crop(
+            xyz0, p_max // 3, self.full_scale[1], self.scale_size,
+            np.random.RandomState(0),
+        )
+        keep = np.where(valid)[0]
+        if keep.size == 0:
+            # degenerate crop (tiny/pathological geometry): deterministic
+            # uniform subsample instead
+            keep = np.sort(
+                np.random.RandomState(0).choice(n, p_max // 3, replace=False)
+            )
+            valid = np.zeros(n, bool)
+            valid[keep] = True
+        out = {k: v[keep] for k, v in s.items()}
+        if with_labels:
+            out["ins"] = augment.compact_instance_labels(s["ins"], valid)
+        return out, keep, n
+
     def val_batch(self, idx):
         """One validation scene as 3 TTA rotated copies (valMerge :324)."""
         fn = self.val_file_list[idx]
         s = self._load_scene(fn, with_sup=True)
+        sem_full = s["sem"]
+        s, keep, orig_n = self._fit_eval_scene(s)
+        dropped_sem = None
+        if keep is not None:
+            drop_mask = np.ones(orig_n, bool)
+            drop_mask[keep] = False
+            dropped_sem = np.asarray(sem_full)[drop_mask]
         rng = np.random.RandomState(0)  # val path draws only the rgb jitter
         scenes = []
         for i in range(3):
@@ -124,13 +160,21 @@ class Dataset:
             )
             ins = augment.compact_instance_labels(s["ins"].copy())
             scenes.append((fn, xyz, rgb, nl, s["sem"].copy(), ins))
-        batch = self._collate(scenes)
+        batch = self._collate(scenes, buckets=self.cfg.eval_buckets())
         batch["sup"] = s["sup"]
         batch["fn"] = fn
+        batch["keep_idx"] = keep
+        batch["orig_num_points"] = orig_n
+        batch["dropped_sem"] = dropped_sem
         return batch
 
-    def _collate(self, scenes):
-        """Quantize + concatenate + pad to StaticShapes."""
+    def _collate(self, scenes, buckets=None):
+        """Quantize + concatenate + pad to StaticShapes.
+
+        With ``buckets`` (ascending list of StaticShapes), pads to the
+        smallest bucket that fits and records it as ``batch["shapes"]`` —
+        small scenes then compile/run in a small bucket instead of paying the
+        worst-case latency (SURVEY §5 scene-size buckets)."""
         sh = self.cfg.shapes
         xs, feats_v, coords_v, sems, inss, infos, pointnum = [], [], [], [], [], [], []
         pbatch = []
@@ -162,6 +206,14 @@ class Dataset:
         xyz_all = np.concatenate(xs)
         n_pts, n_vox = xyz_all.shape[0], coords.shape[0]
 
+        if buckets:
+            for b in buckets:
+                if (n_pts <= b.point_cap and n_vox <= b.voxel_caps[0]
+                        and total_inst <= b.instance_cap):
+                    sh = b
+                    break
+            else:
+                sh = buckets[-1]
         P, V, I = sh.point_cap, sh.voxel_caps[0], sh.instance_cap
         if n_pts > P or n_vox > V or total_inst > I:
             raise ValueError(
@@ -189,6 +241,8 @@ class Dataset:
             "num_voxels": n_vox,
             "num_instances": total_inst,
         }
+        if buckets:
+            batch["shapes"] = sh
         return batch
 
     # ---------------- epoch iterators ----------------
@@ -224,8 +278,12 @@ class Dataset:
             for f in futs:
                 yield f.result()
 
-    def val_loader(self, num_workers: Optional[int] = None) -> Iterator[dict]:
-        idxs = range(len(self.val_file_list))
+    def val_loader(self, num_workers: Optional[int] = None,
+                   max_scenes: Optional[int] = None) -> Iterator[dict]:
+        n = len(self.val_file_list)
+        if max_scenes is not None:
+            n = min(n, max_scenes)
+        idxs = range(n)
         workers = self.cfg.num_works if num_workers is None else num_workers
         if workers <= 1:
             for i in idxs:
@@ -244,6 +302,7 @@ class Dataset:
         the working equivalent using the valMerge TTA flow)."""
         fn = self.test_file_list[idx]
         s = self._load_scene(fn, with_labels=False, with_sup=True)
+        s, keep, orig_n = self._fit_eval_scene(s, with_labels=False)
         rng = np.random.RandomState(0)
         scenes = []
         for i in range(3):
@@ -254,9 +313,11 @@ class Dataset:
             sem = np.full(n, -100, np.int64)
             ins = np.full(n, -100, np.int64)
             scenes.append((fn, xyz, rgb, nl, sem, ins))
-        batch = self._collate(scenes)
+        batch = self._collate(scenes, buckets=self.cfg.eval_buckets())
         batch["sup"] = s["sup"]
         batch["fn"] = fn
+        batch["keep_idx"] = keep
+        batch["orig_num_points"] = orig_n
         return batch
 
     def test_loader(self):

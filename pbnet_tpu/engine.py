@@ -57,9 +57,9 @@ class ScalarWriter:
             self.tb.close()
 
 
-def build_model(cfg: Config, multi_device: bool) -> PBNet:
+def build_model(cfg: Config, multi_device: bool, shapes=None) -> PBNet:
     return PBNet(
-        shapes=cfg.shapes,
+        shapes=shapes or cfg.shapes,
         sem_num=cfg.sem_num,
         voxel_size=cfg.voxel_size,
         scale_size=cfg.scale_size,
@@ -84,8 +84,24 @@ def init_state(model, cfg, sample_batch, seed=0):
 
 
 def device_batch(batch: dict) -> dict:
-    drop = {"num_points", "num_voxels", "num_instances", "fn", "sup"}
-    return {k: np.asarray(v) for k, v in batch.items() if k not in drop}
+    drop = {"num_points", "num_voxels", "num_instances", "fn", "sup",
+            "shapes", "keep_idx", "orig_num_points", "dropped_sem"}
+    return {k: np.asarray(v) for k, v in batch.items()
+            if k not in drop and v is not None}
+
+
+def scatter_cropped_masks(pred_info: dict, batch: dict) -> dict:
+    """Expand proposal masks of a cropped oversize scene back to the full
+    point count (dropped points belong to no proposal)."""
+    keep = batch.get("keep_idx")
+    if keep is None:
+        return pred_info
+    full = np.zeros(
+        (pred_info["mask"].shape[0], batch["orig_num_points"]),
+        pred_info["mask"].dtype,
+    )
+    full[:, keep] = pred_info["mask"]
+    return dict(pred_info, mask=full)
 
 
 def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = None,
@@ -229,16 +245,25 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     matches = {}
     gt_dir = os.path.join(cfg.data_root, "val_gt")
 
-    # single-device eval path: jit once.  with_labels=True also yields the
-    # mask-accuracy meters of the reference's in-train eval
-    # (/root/reference/train.py:152-168); val batches always carry labels.
-    @jax.jit
-    def fwd(params, batch_stats, batch):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch,
-            with_instances=with_instances, with_labels=use_labels,
-            train=False,
-        )
+    # single-device eval path: one jitted forward per scene-size bucket (the
+    # collate tags each batch with the smallest StaticShapes bucket it fits).
+    # with_labels=True also yields the mask-accuracy meters of the
+    # reference's in-train eval (/root/reference/train.py:152-168).
+    fwd_cache = {}
+
+    def fwd(params, batch_stats, dev, shapes):
+        if shapes not in fwd_cache:
+            m2 = model if shapes == model.shapes else build_model(
+                cfg, multi_device=False, shapes=shapes
+            )
+            fwd_cache[shapes] = jax.jit(
+                lambda p, s, b: m2.apply(
+                    {"params": p, "batch_stats": s}, b,
+                    with_instances=with_instances, with_labels=use_labels,
+                    train=False,
+                )
+            )
+        return fwd_cache[shapes](params, batch_stats, dev)
 
     all_acc = metrics.AverageMeter()
     tp_acc = metrics.AverageMeter()
@@ -246,10 +271,13 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     n_scenes = len(dataset.val_file_list)
     if max_scenes:
         n_scenes = min(n_scenes, max_scenes)
-    for i in range(n_scenes):
-        batch = dataset.val_batch(i)
+    # thread-prefetched loader overlaps host-side augment/quantize/pad with
+    # device compute (reference DataLoader workers, eval weak spot #6)
+    loader = dataset.val_loader(max_scenes=n_scenes)
+    for i, batch in enumerate(loader):
         dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
-        ret = fwd(state.params, state.batch_stats, dev)
+        ret = fwd(state.params, state.batch_stats, dev,
+                  batch.get("shapes", cfg.shapes))
         n = batch["num_points"]
         ov = int(ret.get("overflow_vox", 0)) + int(ret.get("overflow_grid", 0))
         if "overflow" in ret:
@@ -267,6 +295,16 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
         inter_m += inter
         union_m += union
         target_m += target
+        if batch.get("keep_idx") is not None:
+            # cropped oversize scene: dropped points carry no prediction, so
+            # their GT classes count as misses (honest vs the reference,
+            # which never drops)
+            dsem = batch["dropped_sem"]
+            cnt = np.bincount(
+                dsem[(dsem >= 0) & (dsem < cfg.sem_num)], minlength=cfg.sem_num
+            )[: cfg.sem_num]
+            union_m += cnt
+            target_m += cnt
 
         if with_instances and use_labels:
             pm = np.asarray(ret["mask_scores"]) >= 0.5
@@ -285,6 +323,7 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
             if pred_info is None:
                 print("no cluster")
                 continue
+            pred_info = scatter_cropped_masks(pred_info, batch)
             gt_file = os.path.join(gt_dir, batch["fn"] + ".txt")
             gt_ids = eval_protocol.load_gt_ids(gt_file)
             gt2pred, pred2gt = eval_protocol.assign_instances_for_scan(
@@ -329,7 +368,9 @@ def evaluate_pretrained(cfg: Config, max_scenes=None):
     dataset = Dataset(cfg)
     model = build_model(cfg, multi_device=False)
     sample = dataset.val_batch(0)
-    state, _ = init_state(model, cfg, device_batch(sample), cfg.manual_seed)
+    # init through the sample's own size bucket (params are cap-independent)
+    init_model = build_model(cfg, False, shapes=sample.get("shapes"))
+    state, _ = init_state(init_model, cfg, device_batch(sample), cfg.manual_seed)
     template = {"params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state}
     restored, start_epoch, ckfile = log_tools.checkpoint_restore(
@@ -369,7 +410,8 @@ def predict_testset(cfg: Config, max_scenes=None):
     dataset = Dataset(cfg)
     model = build_model(cfg, multi_device=False)
     sample = dataset.test_batch(0)
-    state, _ = init_state(model, cfg, device_batch(sample), cfg.manual_seed)
+    init_model = build_model(cfg, False, shapes=sample.get("shapes"))
+    state, _ = init_state(init_model, cfg, device_batch(sample), cfg.manual_seed)
     template = {"params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state}
     restored, epoch, ckfile = log_tools.checkpoint_restore(
@@ -384,12 +426,20 @@ def predict_testset(cfg: Config, max_scenes=None):
         "test",
     )
 
-    @jax.jit
-    def fwd(params, batch_stats, batch):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch,
-            with_instances=True, with_labels=False, train=False,
-        )
+    fwd_cache = {}
+
+    def fwd(params, batch_stats, dev, shapes):
+        if shapes not in fwd_cache:
+            m2 = model if shapes == model.shapes else build_model(
+                cfg, multi_device=False, shapes=shapes
+            )
+            fwd_cache[shapes] = jax.jit(
+                lambda p, s, b: m2.apply(
+                    {"params": p, "batch_stats": s}, b,
+                    with_instances=True, with_labels=False, train=False,
+                )
+            )
+        return fwd_cache[shapes](params, batch_stats, dev)
 
     n_scenes = len(dataset.test_file_list)
     if max_scenes:
@@ -397,11 +447,13 @@ def predict_testset(cfg: Config, max_scenes=None):
     for i in range(n_scenes):
         batch = dataset.test_batch(i)
         dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
-        ret = fwd(state.params, state.batch_stats, dev)
+        ret = fwd(state.params, state.batch_stats, dev,
+                  batch.get("shapes", cfg.shapes))
         pred_info = eval_scene_instances(ret, batch["num_points"], batch["sup"], cfg)
         if pred_info is None:
             logger.info(f"{batch['fn']}: no proposals")
             continue
+        pred_info = scatter_cropped_masks(pred_info, batch)
         write_submission(result_dir, batch["fn"], pred_info)
         logger.info(f"{batch['fn']}: {pred_info['mask'].shape[0]} instances")
     return result_dir

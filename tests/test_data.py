@@ -76,6 +76,46 @@ class TestSegmentator:
         seg = segmentator.segment_point(pts, normals, edges, 0.5, 1)
         assert len(np.unique(seg)) == 1  # identical normals -> fully merged
 
+    def test_rotation_equivariance(self, rng):
+        # property from /root/reference/lib/segmentator/test_equivariance.py:
+        # rotating points+normals (same knn graph) must preserve the segment
+        # count and the sorted segment-size distribution for flat-faced
+        # geometry (a 2-plane dihedral here)
+        n_half = 400
+        p1 = np.concatenate(
+            [rng.rand(n_half, 2), np.zeros((n_half, 1))], 1
+        )
+        p2 = np.concatenate(
+            [rng.rand(n_half, 1), np.zeros((n_half, 1)), rng.rand(n_half, 1)], 1
+        )
+        pts = np.concatenate([p1, p2]).astype(np.float32)
+        normals = np.concatenate([
+            np.tile(np.array([[0, 0, 1.0]], np.float32), (n_half, 1)),
+            np.tile(np.array([[0, 1.0, 0]], np.float32), (n_half, 1)),
+        ])
+        # brute-force knn graph (n is small)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        nbr = np.argsort(d2, axis=1)[:, :8]
+        edges = np.stack(
+            [np.repeat(np.arange(pts.shape[0]), 8), nbr.ravel()], 1
+        ).astype(np.int64)
+        before = segmentator.segment_point(pts, normals, edges, 0.01, 20)
+
+        # random rotation (QR of a gaussian, det +1)
+        q, r = np.linalg.qr(rng.randn(3, 3))
+        q *= np.sign(np.diag(r))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        after = segmentator.segment_point(
+            (pts @ q.astype(np.float32)), (normals @ q.astype(np.float32)),
+            edges, 0.01, 20,
+        )
+        assert before.max() == after.max()
+        np.testing.assert_array_equal(
+            np.sort(np.bincount(before)), np.sort(np.bincount(after))
+        )
+
 
 def fabricate_scene(root, scan_name, rng, side=14, n_instances=2):
     """Write a tiny ScanNet-format scene (ply + labels + segs + aggregation)."""
@@ -218,6 +258,72 @@ class TestDataset:
         # three copies have identical per-copy sizes
         assert (pb == 0).sum() == (pb == 1).sum() == (pb == 2).sum()
         assert "sup" in b and b["sup"].shape[0] == n // 3
+
+    def test_scaled_shapes_buckets(self):
+        sh = StaticShapes()
+        half = sh.scaled(0.5)
+        assert half.point_cap < sh.point_cap
+        assert half.point_cap % 4096 == 0
+        assert all(a <= b for a, b in zip(half.voxel_caps, sh.voxel_caps))
+        assert all(v % 512 == 0 for v in half.voxel_caps)
+        # cluster/instance capacities (semantics) untouched
+        assert half.cluster_cap == sh.cluster_cap
+        assert half.instance_cap == sh.instance_cap
+        assert sh.scaled(1.0) is sh
+        cfg = Config()
+        bks = cfg.eval_buckets()
+        assert bks[-1] == cfg.shapes
+        assert all(
+            a.point_cap <= b.point_cap for a, b in zip(bks, bks[1:])
+        )
+
+    def test_val_batch_picks_smallest_bucket(self, rng, tmp_path):
+        self._prepare(tmp_path, rng)
+        cfg = self._mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        b = ds.val_batch(0)
+        assert "shapes" in b
+        buckets = cfg.eval_buckets()
+        # the tiny fabricated scene fits the smallest bucket
+        assert b["shapes"] == buckets[0]
+        assert b["xyz"].shape[0] == buckets[0].point_cap
+        assert b["keep_idx"] is None
+
+    def test_oversize_val_scene_crops_not_raises(self, rng, tmp_path):
+        self._prepare(tmp_path, rng)
+        cfg = self._mini_cfg(tmp_path)
+        # largest bucket too small for the 3 TTA copies -> crop fallback
+        cfg = cfg.replace(
+            shapes=cfg.shapes,
+            eval_bucket_scales=(1.0,),
+        )
+        small = StaticShapes(
+            point_cap=256, voxel_caps=(512, 256, 128, 64, 32),
+            cluster_cap=16, local_point_cap=512,
+            local_voxel_caps=(256, 128, 64, 32, 16),
+            score_voxel_caps=(256, 128, 64, 32, 16),
+            instance_cap=16, cluster_band=128,
+        )
+        cfg = cfg.replace(shapes=small)
+        ds = Dataset(cfg)
+        b = ds.val_batch(0)  # must not raise
+        assert b["keep_idx"] is not None
+        assert b["num_points"] <= small.point_cap
+        assert b["num_points"] % 3 == 0
+        k = b["num_points"] // 3
+        # identical subset across the 3 TTA copies keeps the fold aligned
+        assert b["keep_idx"].shape[0] == k
+        assert b["sup"].shape[0] == k
+        assert b["orig_num_points"] > k
+        assert b["dropped_sem"].shape[0] == b["orig_num_points"] - k
+        # mask scatter-back helper
+        from pbnet_tpu.engine import scatter_cropped_masks
+
+        pred = {"mask": np.ones((2, k), np.int32), "conf": np.ones(2),
+                "label_id": np.ones(2, np.int64)}
+        out = scatter_cropped_masks(pred, b)
+        assert out["mask"].shape == (2, b["orig_num_points"])
+        assert out["mask"].sum() == 2 * k
 
     def test_epoch_shuffle_deterministic(self, rng, tmp_path):
         self._prepare(tmp_path, rng)

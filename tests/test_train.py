@@ -85,6 +85,24 @@ class TestTrainStep:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]  # overfits two fixed batches
 
+    def test_two_device_step_with_instances(self, rng, tmp_path):
+        # the exact path __graft_entry__.dryrun_multichip exercises: full
+        # 3-stage pipeline (clustering + D_Unet + ScoreNet) sharded over 2
+        # devices — guards the multichip gate against silent regressions
+        prepare_dataset(tmp_path, rng)
+        cfg = mini_cfg(tmp_path, cluster_epoch=-1)
+        ds = Dataset(cfg)
+        mesh = mesh_lib.make_mesh(2)
+        model = engine.build_model(cfg, multi_device=True)
+        b0 = engine.device_batch(ds.train_batch([0], np.random.RandomState(0)))
+        b1 = engine.device_batch(ds.train_batch([1], np.random.RandomState(1)))
+        state, tx = engine.init_state(model, cfg, b0)
+        step = make_train_step(model, cfg, mesh, tx, with_instances=True)
+        state, aux = step(state, mesh_lib.shard_batch(mesh, [b0, b1]), 1e-3)
+        assert np.isfinite(float(aux["loss"]))
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert np.isfinite(np.asarray(leaf)).all()
+
     def test_params_identical_across_devices(self, rng, tmp_path):
         # grads are pmean'd -> replicated params stay consistent
         prepare_dataset(tmp_path, rng)
