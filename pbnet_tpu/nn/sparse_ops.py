@@ -11,6 +11,8 @@ gather-GEMM-scatter sparse conv used throughout the reference
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -21,13 +23,61 @@ import jax.numpy as jnp
 COMPUTE_DTYPE = jnp.bfloat16
 
 
-def _conv_fwd_math(feats, kmap, weights, valid_out):
-    g = jnp.take(
-        feats.astype(COMPUTE_DTYPE), kmap, axis=0, mode="fill", fill_value=0
-    )  # (M, K, Cin)
+def _window_img2col(feats, kmap, kz):
+    """img2col via z-window row gathers: K/kz gathers per output row.
+
+    Kernel offsets enumerate dz fastest, so each aligned kz-column block of
+    the kernel map shares one (dx, dy) column of the voxel lattice.  Present
+    members of a block occupy CONSECUTIVE rows of the (key-sorted) input
+    level (rank order == key order within a z-column; the level's lattice has
+    no voxels between adjacent dz candidates).  So ONE row gather of a
+    kz-stacked feature table at the block's min index fetches every member,
+    and a cheap (pos == t) select rebuilds the per-slot layout.  Gathers are
+    op-count-bound on TPU (~same cost regardless of row width), making this
+    kz times cheaper than the naive (M, K) row gather.
+
+    Also correct for column-reversed maps (kmap_bwd = kmap[:, ::-1]):
+    reversal maps aligned blocks to aligned blocks and the reconstruction
+    never assumes dz is ascending.
+    """
+    m, K = kmap.shape
+    cin = feats.shape[1]
+    G = K // kz
+    assert G * kz == K, (K, kz)
+    f = feats.astype(COMPUTE_DTYPE)
+    # stacked table: fS[a] = [f[a], f[a+1], ..., f[a+kz-1]]  (zero pad at end)
+    parts = [f]
+    for t in range(1, kz):
+        parts.append(
+            jnp.concatenate([f[t:], jnp.zeros((t, cin), f.dtype)], axis=0)
+        )
+    fS = jnp.concatenate(parts, axis=1)  # (M_in, kz*Cin)
+
+    km3 = kmap.reshape(m, G, kz)
+    present = km3 >= 0
+    big = jnp.int32(2**30)
+    anchor = jnp.min(jnp.where(present, km3, big), axis=2)  # (M, G)
+    anchor_c = jnp.where(anchor < big, anchor, 0)
+    win = jnp.take(fS, anchor_c, axis=0, mode="clip").reshape(m, G, kz, cin)
+    pos = km3 - anchor_c[:, :, None]  # window position of each slot
+    g = jnp.zeros((m, G, kz, cin), f.dtype)
+    for t in range(kz):
+        g = g + jnp.where(
+            (present & (pos == t))[..., None], win[:, :, t : t + 1, :], 0
+        )
+    return g.reshape(m, K * cin)
+
+
+def _conv_fwd_math(feats, kmap, weights, valid_out, kz=None):
     k, cin, cout = weights.shape
+    if kz is not None and kz > 1:
+        g = _window_img2col(feats, kmap, kz)
+    else:
+        g = jnp.take(
+            feats.astype(COMPUTE_DTYPE), kmap, axis=0, mode="fill", fill_value=0
+        ).reshape(kmap.shape[0], k * cin)
     y = jax.lax.dot_general(
-        g.reshape(g.shape[0], k * cin),
+        g,
         weights.astype(COMPUTE_DTYPE).reshape(k * cin, cout),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -35,8 +85,8 @@ def _conv_fwd_math(feats, kmap, weights, valid_out):
     return jnp.where(valid_out[:, None], y, 0.0)
 
 
-@jax.custom_vjp
-def _gather_conv_core(feats, kmap, kmap_bwd, weights, valid_out):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out):
     """Sparse conv whose BACKWARD is also a gather-GEMM.
 
     XLA differentiates a gather into a scatter-add, and random scatters run
@@ -51,23 +101,29 @@ def _gather_conv_core(feats, kmap, kmap_bwd, weights, valid_out):
     * strided conv (k=2 s=2): the transpose-conv map of the same level pair
     * transposed conv: the strided-conv map
 
-    so no extra lookups are ever built.
+    so no extra lookups are ever built.  ``kz`` (static) enables z-window
+    gathers in both directions (see _window_img2col).
     """
-    return _conv_fwd_math(feats, kmap, weights, valid_out)
+    return _conv_fwd_math(feats, kmap, weights, valid_out, kz)
 
 
-def _gc_fwd(feats, kmap, kmap_bwd, weights, valid_out):
-    y = _conv_fwd_math(feats, kmap, weights, valid_out)
+def _gc_fwd(kz, feats, kmap, kmap_bwd, weights, valid_out):
+    y = _conv_fwd_math(feats, kmap, weights, valid_out, kz)
     return y, (feats, kmap, kmap_bwd, weights, valid_out)
 
 
-def _gc_bwd(res, dy):
+def _gc_bwd(kz, res, dy):
     feats, kmap, kmap_bwd, weights, valid_out = res
     dy = jnp.where(valid_out[:, None], dy, 0.0).astype(COMPUTE_DTYPE)
     k, cin, cout = weights.shape
     # One backward gather serves BOTH grads: gy[j,k] = dy[output reading j at
     # forward-offset k].
-    gy = jnp.take(dy, kmap_bwd, axis=0, mode="fill", fill_value=0)  # (Min,K,Cout)
+    if kz is not None and kz > 1:
+        gy = _window_img2col(dy, kmap_bwd, kz).reshape(
+            kmap_bwd.shape[0], k, cout
+        )
+    else:
+        gy = jnp.take(dy, kmap_bwd, axis=0, mode="fill", fill_value=0)  # (Min,K,Cout)
     # dx[j] = sum_k gy[j,k] @ W[k]^T
     wt = jnp.swapaxes(weights.astype(COMPUTE_DTYPE), 1, 2).reshape(k * cout, cin)
     dx = jax.lax.dot_general(
@@ -87,6 +143,9 @@ def _gc_bwd(res, dy):
 
 _gather_conv_core.defvjp(_gc_fwd, _gc_bwd)
 
+# hypercube kernel volume -> z-run length (offsets enumerate dz fastest)
+_KZ_OF = {125: 5, 27: 3, 8: 2}
+
 
 def gather_conv(
     feats: jnp.ndarray,  # (M_in, Cin)
@@ -100,11 +159,13 @@ def gather_conv(
 
     When ``kmap_bwd`` is given, the backward pass is a gather-GEMM too (see
     ``_gather_conv_core``); otherwise autodiff falls back to scatter-add.
+    Hypercube kernel maps use z-window gathers (see _window_img2col).
     """
+    kz = _KZ_OF.get(kmap.shape[1])
     if kmap_bwd is None:
-        y = _conv_fwd_math(feats, kmap, weights, valid_out)
+        y = _conv_fwd_math(feats, kmap, weights, valid_out, kz)
     else:
-        y = _gather_conv_core(feats, kmap, kmap_bwd, weights, valid_out)
+        y = _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out)
     if bias is not None:
         y = jnp.where(valid_out[:, None], y + bias, 0.0)
     return y
