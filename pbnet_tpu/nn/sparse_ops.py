@@ -32,9 +32,10 @@ def _window_img2col(feats, kmap, kz):
     level (rank order == key order within a z-column; the level's lattice has
     no voxels between adjacent dz candidates).  So ONE row gather of a
     kz-stacked feature table at the block's min index fetches every member,
-    and a cheap (pos == t) select rebuilds the per-slot layout.  Gathers are
-    op-count-bound on TPU (~same cost regardless of row width), making this
-    kz times cheaper than the naive (M, K) row gather.
+    and a cheap (pos == t) select rebuilds the per-slot layout.  Pays off
+    only for NARROW rows (see _WINDOW_MAX_CH), where gathers are
+    op-count-bound; wide rows are byte-bound and the stacked table moves the
+    same bytes.
 
     Also correct for column-reversed maps (kmap_bwd = kmap[:, ::-1]):
     reversal maps aligned blocks to aligned blocks and the reconstruction
@@ -68,9 +69,16 @@ def _window_img2col(feats, kmap, kz):
     return g.reshape(m, K * cin)
 
 
+# Row width (channels) below which z-window gathers win.  Measured on v5e:
+# gathers are op-count-bound for narrow rows (6ch stem: 61 -> 48 ms) but
+# byte-bound for wide ones (96ch k3: windows LOSE, 40 -> 52 ms, because the
+# kz-stacked table moves the same bytes plus select overhead).
+_WINDOW_MAX_CH = 16
+
+
 def _conv_fwd_math(feats, kmap, weights, valid_out, kz=None):
     k, cin, cout = weights.shape
-    if kz is not None and kz > 1:
+    if kz is not None and kz > 1 and cin <= _WINDOW_MAX_CH:
         g = _window_img2col(feats, kmap, kz)
     else:
         g = jnp.take(
@@ -118,7 +126,7 @@ def _gc_bwd(kz, res, dy):
     k, cin, cout = weights.shape
     # One backward gather serves BOTH grads: gy[j,k] = dy[output reading j at
     # forward-offset k].
-    if kz is not None and kz > 1:
+    if kz is not None and kz > 1 and cout <= _WINDOW_MAX_CH:
         gy = _window_img2col(dy, kmap_bwd, kz).reshape(
             kmap_bwd.shape[0], k, cout
         )
