@@ -283,8 +283,12 @@ def grid_offsets_lookup(
     )
     flat = ((b[:, None] * dims[1] + ox) * dims[2] + oy) * zp + qz[:, None] + Z_PAD
     flat = jnp.where(ok, flat, (nrows + 1) * zp - 1)  # dummy row -> all -1
-    win = jnp.take(grid.packed, flat, axis=0)  # (M, K2, 5)
-    out = win[:, :, int(cols[0]): int(cols[-1]) + 1]  # contiguous dz columns
+    # 2-D gather + 2-D slice: flat (M*K2,) indices and a (Q, 5) result keep
+    # XLA on default layouts — a (M, K2, 5) intermediate made layout
+    # assignment pick transposed gathers + data-formatting copies that cost
+    # 10x the gather itself (profiled on the stem maps)
+    win = jnp.take(grid.packed, flat.reshape(-1), axis=0)  # (M*K2, 5)
+    out = win[:, int(cols[0]): int(cols[-1]) + 1]  # contiguous dz columns
     return out.reshape(m, groups.shape[0] * groups.shape[1])  # (M, K)
 
 
@@ -337,32 +341,40 @@ class PidGrid:
         m = g.shape[0]
         groups, _ = _group_offsets(offs, self.spatial.stride)
         k2, kz = groups.shape[0], groups.shape[1]
-        g3 = g.reshape(m, k2, kz)
-        present = g3 >= 0
-        any_p = jnp.any(present, axis=2)  # (M, K2)
-        gmin = jnp.min(jnp.where(present, g3, np.int32(2**31 - 1)), axis=2)
-        gmax = jnp.max(jnp.where(present, g3, -1), axis=2)
+        # strictly 2-D from here (rows = (m*k2) blocks): 3-D intermediates
+        # force transposed gather layouts + data-formatting copies (see
+        # grid_offsets_lookup)
+        g2 = g.reshape(m * k2, kz)
+        present = g2 >= 0
+        any_p = jnp.any(present, axis=1)  # (m*k2,)
+        gmin = jnp.min(jnp.where(present, g2, np.int32(2**31 - 1)), axis=1)
+        gmax = jnp.max(jnp.where(present, g2, -1), axis=1)
         anchor = (gmin + gmax) // 2  # always a present rank (consecutive run)
         size = self.pid_cap * self.main_cap
-        base = jnp.where(
-            any_p, pid[:, None] * self.main_cap + anchor, size
-        )
+        pid_r = jnp.repeat(pid, k2, total_repeat_length=m * k2)
+        base = jnp.where(any_p, pid_r * self.main_cap + anchor, size)
         # shift-stacked pid table: col t holds table[flat + t - Z_PAD]
         tbl = self.table  # (size,)
         pad = jnp.full((Z_PAD,), -1, jnp.int32)
         ext = jnp.concatenate(
             [pad, tbl, jnp.full((1 + Z_PAD,), -1, jnp.int32)]
         )  # slot `size` = -1 dummy, then right pad
-        pid5 = jnp.stack(
-            [ext[t: t + size + 1] for t in range(2 * Z_PAD + 1)], axis=1
+        pid5 = jnp.concatenate(
+            [ext[t: t + size + 1][:, None] for t in range(2 * Z_PAD + 1)],
+            axis=1,
         )  # (size + 1, 5)
-        win = jnp.take(pid5, jnp.minimum(base, size), axis=0)  # (M, K2, 5)
-        delta = jnp.clip(g3 - anchor[:, :, None], -Z_PAD, Z_PAD)  # (M,K2,kz)
-        row = jnp.full((m, k2, kz), -1, jnp.int32)
-        for t in range(2 * Z_PAD + 1):
-            row = jnp.where(
-                present & (delta == t - Z_PAD), win[:, :, t: t + 1], row
-            )
+        win = jnp.take(pid5, jnp.minimum(base, size), axis=0)  # (m*k2, 5)
+        delta = jnp.clip(g2 - anchor[:, None], -Z_PAD, Z_PAD)  # (m*k2, kz)
+        cols_out = []
+        for ti in range(kz):
+            col = jnp.full((m * k2,), -1, jnp.int32)
+            for t in range(2 * Z_PAD + 1):
+                col = jnp.where(
+                    present[:, ti] & (delta[:, ti] == t - Z_PAD),
+                    win[:, t], col,
+                )
+            cols_out.append(col[:, None])
+        row = jnp.concatenate(cols_out, axis=1)  # (m*k2, kz)
         return row.reshape(m, k2 * kz)
 
 

@@ -132,8 +132,14 @@ class PBNet(nn.Module):
         }
 
     # ------------------------------------------------------------------
-    def instance_stage(self, batch, bb, with_labels: bool, train: bool):
-        """Stages 2+3 (/root/reference/network/PBNet.py:143-280)."""
+    def instance_stage(self, batch, bb, with_labels: bool, train: bool,
+                       stop_after: Optional[str] = None):
+        """Stages 2+3 (/root/reference/network/PBNet.py:143-280).
+
+        ``stop_after`` (static; None in production) truncates the stage for
+        per-phase latency profiling: one of "cluster", "assemble", "mask",
+        "proposal".
+        """
         sh = self.shapes
         n = batch["xyz"].shape[0]
         xyz = batch["xyz"]
@@ -159,6 +165,8 @@ class PBNet(nn.Module):
             radius=self.radius, min_pts=self.min_pts, count_mean=count_mean,
             cluster_cap=sh.cluster_cap, band=sh.cluster_band,
         )
+        if stop_after == "cluster":
+            return {"cluster": res}
         C = sh.cluster_cap
         cid = res.cluster_id  # (N,)
         csem = res.cluster_sem
@@ -235,7 +243,11 @@ class PBNet(nn.Module):
         total = cum[-1]  # scene points actually needed
         T = sh.local_point_cap
         t_idx = jnp.arange(T, dtype=jnp.int32)
-        segj = jnp.searchsorted(cum, t_idx, side="right").astype(jnp.int32)
+        # segj[t] = #{j: cum[j] <= t} (searchsorted-right), built as a
+        # scatter + cumsum instead of a binary search (T scalar-gather
+        # rounds are the expensive primitive on TPU)
+        marks = jnp.zeros((T + 1,), jnp.int32).at[jnp.minimum(cum, T)].add(1)
+        segj = jnp.cumsum(marks[:T])
         segj_c = jnp.clip(segj, 0, seg_len.shape[0] - 1)
         seg_start = cum[segj_c] - seg_len[segj_c]
         within = t_idx - seg_start
@@ -269,6 +281,9 @@ class PBNet(nn.Module):
         else:
             gt_mask = jnp.full((T,), -1.0)
 
+        if stop_after == "assemble":
+            return {"cluster": res, "scene_feat": scene_feat,
+                    "scene_xyz": scene_xyz, "gt_mask": gt_mask}
         # ---- D_Unet over re-voxelized local scenes (:236-250) ----
         q2 = qz.quantize_device(
             scene_xyz / LOCAL_VOXEL, scene_pid, t_ok, sh.local_voxel_caps[0]
@@ -306,6 +321,8 @@ class PBNet(nn.Module):
             t_ok & (p2v2 >= 0), mask_v[jnp.clip(p2v2, 0, None)], 0.0
         )
 
+        if stop_after == "mask":
+            return {"cluster": res, "mask_scores": mask_score}
         # ---- get_proposal: threshold + drop null proposals (:317-347) ----
         kept = t_ok & (mask_score > MASK_THRESH) & (scene_pid >= 0)
         P = C  # proposal capacity = cluster capacity
@@ -329,6 +346,9 @@ class PBNet(nn.Module):
             jnp.where(pid_alive, pid2, P)
         ].set(sem_of_pid)[:P]
 
+        if stop_after == "proposal":
+            return {"cluster": res, "mask_scores": mask_score,
+                    "prop_point_pid": final_pid}
         # ---- ScoreNet (:254-279) ----
         sxyz = scene_xyz * self.scale_size / self.voxel_size
         q3 = qz.quantize_device(
@@ -371,6 +391,7 @@ class PBNet(nn.Module):
         # every stage's capacity-overrun diagnostics, for aux/scalars logging
         overflow = {
             "cluster_band": res.band_overflow,
+            "cluster_nn": res.nn_overflow,
             "scene_points": jnp.maximum(total - T, 0),
             "local_vox": jnp.maximum(q2["count"] - sh.local_voxel_caps[0], 0)
             + topo2.level_overflow,
@@ -379,11 +400,19 @@ class PBNet(nn.Module):
             + topo3.level_overflow,
             "score_grid": topo3.grid_overflow,
         }
+        # actual utilization (vs caps) — drives right-sizing StaticShapes
+        usage = {
+            "scene_points": total,
+            "local_vox": q2["count"],
+            "score_vox": q3["count"],
+            "kept_points": jnp.sum(kept.astype(jnp.int32)),
+        }
 
         return {
             "cluster": res,
             "num_proposals": num_proposals,
             "overflow": overflow,
+            "usage": usage,
             "scene_total": total,
             "scene_overflow": jnp.maximum(total - T, 0),
             # mask branch (pre-threshold scene points)

@@ -23,19 +23,41 @@ import jax.numpy as jnp
 COMPUTE_DTYPE = jnp.bfloat16
 
 
-def _window_img2col(feats, kmap, kz):
-    """img2col via z-window row gathers: K/kz gathers per output row.
+def _take_rows0(tbl, idx):
+    """Row gather where ANY out-of-range index (including -1 "missing")
+    yields a zero row.  ``jnp.take(mode="fill")`` alone is NOT enough: JAX
+    wraps negative indices even in fill mode, so a -1 kernel-map entry would
+    silently read the LAST row — real data whenever a level runs at exactly
+    full capacity.  Remapping -1 above the table length makes it genuinely
+    out of range."""
+    safe = jnp.where(idx >= 0, idx, jnp.int32(tbl.shape[0]))
+    return jnp.take(tbl, safe, axis=0, mode="fill", fill_value=0)
+
+
+def _window_plan(kz, cin):
+    """Rows per window gather.  A gather op fetches up to one 128-lane tile
+    at roughly fixed cost (measured on v5e: ~3-6 ns/op whether the row is 64
+    or 192 bytes; 160+ lanes split into multiple tiles and LOSE), so windows
+    pay off exactly when ``w * cin <= 128`` with ``w >= 2``."""
+    if kz is None or kz <= 1:
+        return None
+    w = min(kz, max(1, 128 // max(cin, 1)))
+    return w if w >= 2 else None
+
+
+def _window_img2col(feats, kmap, kz, w):
+    """img2col via z-window row gathers: ceil(kz/w) gathers per (dx, dy)
+    group instead of kz scalar gathers.
 
     Kernel offsets enumerate dz fastest, so each aligned kz-column block of
     the kernel map shares one (dx, dy) column of the voxel lattice.  Present
-    members of a block occupy CONSECUTIVE rows of the (key-sorted) input
-    level (rank order == key order within a z-column; the level's lattice has
-    no voxels between adjacent dz candidates).  So ONE row gather of a
-    kz-stacked feature table at the block's min index fetches every member,
-    and a cheap (pos == t) select rebuilds the per-slot layout.  Pays off
-    only for NARROW rows (see _WINDOW_MAX_CH), where gathers are
-    op-count-bound; wide rows are byte-bound and the stacked table moves the
-    same bytes.
+    members of any CONTIGUOUS dz sub-range occupy CONSECUTIVE rows of the
+    (key-sorted) input level (rank order == key order within a z-column; the
+    lattice has no voxels between adjacent dz candidates).  So ONE row gather
+    of a w-stacked feature table at the sub-block's min index fetches every
+    member, and a cheap (pos == t) select rebuilds the per-slot layout.
+    ``w`` (from :func:`_window_plan`) keeps each gathered row within one
+    128-lane tile — the regime where gathers are op-count-bound.
 
     Also correct for column-reversed maps (kmap_bwd = kmap[:, ::-1]):
     reversal maps aligned blocks to aligned blocks and the reconstruction
@@ -46,43 +68,60 @@ def _window_img2col(feats, kmap, kz):
     G = K // kz
     assert G * kz == K, (K, kz)
     f = feats.astype(COMPUTE_DTYPE)
-    # stacked table: fS[a] = [f[a], f[a+1], ..., f[a+kz-1]]  (zero pad at end)
+    # stacked table: fS[a] = [f[a], f[a+1], ..., f[a+w-1]]  (zero pad at end)
     parts = [f]
-    for t in range(1, kz):
+    for t in range(1, w):
         parts.append(
             jnp.concatenate([f[t:], jnp.zeros((t, cin), f.dtype)], axis=0)
         )
-    fS = jnp.concatenate(parts, axis=1)  # (M_in, kz*Cin)
+    fS = jnp.concatenate(parts, axis=1)  # (M_in, w*Cin)
 
-    km3 = kmap.reshape(m, G, kz)
-    present = km3 >= 0
+    # Everything below stays strictly 2-D (rows = (m*G) flattened blocks):
+    # 3-D/4-D intermediates made XLA pick transposed gather layouts and
+    # insert data-formatting copies that dwarfed the gathers themselves
+    # (profiled: 90 ms for a 3.3M-row window gather that costs ~5 ms in 2-D).
+    km2 = kmap.reshape(m * G, kz)
     big = jnp.int32(2**30)
-    anchor = jnp.min(jnp.where(present, km3, big), axis=2)  # (M, G)
-    anchor_c = jnp.where(anchor < big, anchor, 0)
-    win = jnp.take(fS, anchor_c, axis=0, mode="clip").reshape(m, G, kz, cin)
-    pos = km3 - anchor_c[:, :, None]  # window position of each slot
-    g = jnp.zeros((m, G, kz, cin), f.dtype)
-    for t in range(kz):
-        g = g + jnp.where(
-            (present & (pos == t))[..., None], win[:, :, t : t + 1, :], 0
-        )
-    return g.reshape(m, K * cin)
-
-
-# Row width (channels) below which z-window gathers win.  Measured on v5e:
-# gathers are op-count-bound for narrow rows (6ch stem: 61 -> 48 ms) but
-# byte-bound for wide ones (96ch k3: windows LOSE, 40 -> 52 ms, because the
-# kz-stacked table moves the same bytes plus select overhead).
-_WINDOW_MAX_CH = 16
+    chunks = []
+    for c0 in range(0, kz, w):
+        cw = min(w, kz - c0)
+        blk = km2[:, c0 : c0 + cw]  # (mG, cw)
+        present = blk >= 0
+        if cw == 1:
+            idx = jnp.where(present[:, 0], blk[:, 0], 0)
+            g1 = jnp.where(
+                present, jnp.take(f, idx, axis=0, mode="clip"), 0
+            )
+            chunks.append(g1)
+            continue
+        anchor = jnp.min(jnp.where(present, blk, big), axis=1)  # (mG,)
+        anchor_c = jnp.where(anchor < big, anchor, 0)
+        win2 = jnp.take(fS, anchor_c, axis=0, mode="clip")  # (mG, w*cin)
+        pos = blk - anchor_c[:, None]  # (mG, cw) window position per slot
+        outs = []
+        for ti in range(cw):
+            sel = jnp.zeros((m * G, cin), f.dtype)
+            hit = present[:, ti]
+            pt = pos[:, ti]
+            for s in range(w):
+                sel = sel + jnp.where(
+                    (hit & (pt == s))[:, None],
+                    win2[:, s * cin : (s + 1) * cin], 0,
+                )
+            outs.append(sel)
+        chunks.append(jnp.concatenate(outs, axis=1))  # (mG, cw*cin)
+    g = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+    return g.reshape(m, K * cin)  # row layout == (G, kz, cin) flattened
 
 
 def _conv_fwd_math(feats, kmap, weights, valid_out, kz=None):
     k, cin, cout = weights.shape
-    if kz is not None and kz > 1 and cin <= _WINDOW_MAX_CH:
-        g = _window_img2col(feats, kmap, kz)
+    w = _window_plan(kz, cin)
+    if w is not None:
+        g = _window_img2col(feats, kmap, kz, w)
     else:
-        g = jnp.take(
-            feats.astype(COMPUTE_DTYPE), kmap, axis=0, mode="fill", fill_value=0
+        g = _take_rows0(
+            feats.astype(COMPUTE_DTYPE), kmap
         ).reshape(kmap.shape[0], k * cin)
     y = jax.lax.dot_general(
         g,
@@ -126,12 +165,13 @@ def _gc_bwd(kz, res, dy):
     k, cin, cout = weights.shape
     # One backward gather serves BOTH grads: gy[j,k] = dy[output reading j at
     # forward-offset k].
-    if kz is not None and kz > 1 and cout <= _WINDOW_MAX_CH:
-        gy = _window_img2col(dy, kmap_bwd, kz).reshape(
+    wq = _window_plan(kz, cout)
+    if wq is not None:
+        gy = _window_img2col(dy, kmap_bwd, kz, wq).reshape(
             kmap_bwd.shape[0], k, cout
         )
     else:
-        gy = jnp.take(dy, kmap_bwd, axis=0, mode="fill", fill_value=0)  # (Min,K,Cout)
+        gy = _take_rows0(dy, kmap_bwd)  # (Min, K, Cout)
     # dx[j] = sum_k gy[j,k] @ W[k]^T
     wt = jnp.swapaxes(weights.astype(COMPUTE_DTYPE), 1, 2).reshape(k * cout, cin)
     dx = jax.lax.dot_general(

@@ -22,8 +22,9 @@ border-point assignment (BFS visit,     LP within radius of >=1 HP adopts the
                                           BFS seed in the reference's order)
 filter small clusters (binary.cu:219)   size < para_f*count_mean[sem] demoted,
                                           ids compacted order-preserving
-assigned_LPs 1-NN same-class            one fused masked argmin over original
-  (binary_cuda_functions.cu:258-302)      coords (later index wins ties, as
+assigned_LPs 1-NN same-class            banded-window 1-NN with a provable-
+  (binary_cuda_functions.cu:258-302)      exactness check + compact exact
+                                          fallback (later index wins ties, as
                                           the CUDA `dist <= best` loop does)
 get_clt_center running mean             segment mean of shifted coords
   (binary_cuda_functions.cu:217-246)
@@ -35,9 +36,12 @@ looping classes then batch items then scanning seeds in index order
 
 Exactness: a point's true neighbor window is [lb, ub) in the (group, l1)
 order (|l1_i - l1_j| <= 2r for any neighbor pair, the same pruning bound the
-reference's kernels use).  Each chunk's window starts at the chunk's first
-row's lb; neighbors are missed only when a chunk's combined window exceeds
-``band`` columns — counted in ``band_overflow``, never silent.
+reference's kernels use).  Each chunk searches TWO ``band``-wide windows —
+one anchored at its first row's lb, one ending at its last row's ub — so any
+chunk whose combined span fits 2*band (e.g. a chunk straddling two large
+instances whose predicted offsets collapse points onto the centers) is
+covered exactly.  Rows whose own window still escapes the union are counted
+per-row in ``band_overflow``, never silent.
 
 Performance notes (measured on the axon TPU, round 2): `lax.sort` is ~free
 amortized (<1 ms at 300k) while serial `lax.scan` steps and scalar gathers
@@ -76,6 +80,7 @@ class ClusterResult(NamedTuple):
     cluster_size: jnp.ndarray  # (C,) int32
     cluster_valid: jnp.ndarray  # (C,) bool
     band_overflow: jnp.ndarray  # () int32 rows whose true window exceeded band
+    nn_overflow: jnp.ndarray = np.int32(0)  # () rows past the exact-1NN cap
 
 
 def _group_l1_sort(shifted, group, valid):
@@ -120,7 +125,7 @@ def _merge_searchsorted(g_s, l1_s, qg, ql1, side):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cluster_cap", "band", "chunk", "prop_iters"),
+    static_argnames=("cluster_cap", "band", "chunk", "prop_iters", "nv_flag"),
 )
 def binary_cluster(
     shifted: jnp.ndarray,  # (N, 3) f32 offset-shifted coords
@@ -161,11 +166,31 @@ def binary_cluster(
     lb_c = lb[jnp.arange(nchunks) * chunk]
     last_rows = jnp.minimum(jnp.arange(nchunks) * chunk + chunk - 1, n - 1)
     ub_c = ub[last_rows]
-    # clamp anchor so the static window stays inside [0, npad)
-    anchor = jnp.clip(lb_c, 0, jnp.maximum(npad - W, 0)).astype(jnp.int32)
-    row_overflow = (ub_c - anchor) > W
+    # DUAL windows per chunk: a left window anchored at the first row's lower
+    # bound and a right window ending at the last row's upper bound.  A chunk
+    # whose combined span fits one band uses only the left window (the right
+    # collapses onto it and its fresh-column mask goes empty); a chunk
+    # straddling a group boundary (span up to 2W — e.g. two large instances
+    # whose points collapse onto their centers) is covered EXACTLY by the
+    # union.  Only spans beyond 2W can still drop neighbor pairs, and those
+    # rows are counted per-row in band_overflow, never silently.
+    hi = jnp.maximum(npad - W, 0)
+    anchor = jnp.clip(lb_c, 0, hi).astype(jnp.int32)
+    anchor2 = jnp.clip(ub_c - W, anchor, hi).astype(jnp.int32)
+    # per-row honest accounting: a VALID row is flagged iff its own true
+    # window [lb, ub) escapes the union of its chunk's two bands (invalid
+    # rows share one giant INF group whose windows are meaningless — they
+    # cluster nothing and must not count)
+    a1r = jnp.repeat(anchor, chunk, total_repeat_length=npad)[:n]
+    a2r = jnp.repeat(anchor2, chunk, total_repeat_length=npad)[:n]
+    contiguous = a2r <= a1r + W
+    row_covered = (
+        (contiguous & (lb >= a1r) & (ub <= a2r + W))
+        | ((lb >= a1r) & (ub <= a1r + W))
+        | ((lb >= a2r) & (ub <= a2r + W))
+    )
     band_overflow = jnp.sum(
-        jnp.where(row_overflow, jnp.minimum(chunk, n - jnp.arange(nchunks) * chunk), 0)
+        (valid_s & ~row_covered).astype(jnp.int32)
     ).astype(jnp.int32)
 
     def pad_to(x, fill):
@@ -178,10 +203,17 @@ def binary_cluster(
 
     # batched window gathers: (nchunks, W) indices into the padded order
     w_idx = anchor[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    w_idx2 = anchor2[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    # the right window contributes only columns NOT already in the left one
+    fresh2 = w_idx2 >= anchor[:, None] + W  # (nchunks, W)
 
     def win(arr):
-        """(npad, ...) -> (nchunks, W, ...) banded window views."""
+        """(npad, ...) -> (nchunks, W, ...) banded window views (left)."""
         return jnp.take(arr, w_idx, axis=0)
+
+    def win2(arr):
+        """Right-anchored window views; pair with the fresh2 column mask."""
+        return jnp.take(arr, w_idx2, axis=0)
 
     # row-side tiles are plain reshapes (chunks tile the padded order)
     rx, ry, rz = (pos_p[:, a].reshape(nchunks, chunk) for a in range(3))
@@ -189,37 +221,47 @@ def binary_cluster(
     rv = valid_p.reshape(nchunks, chunk)
     rows_idx = jnp.arange(npad, dtype=jnp.int32).reshape(nchunks, chunk)
 
-    cp = win(pos_p)  # (nchunks, W, 3)
-    cx, cy, cz = cp[:, :, 0], cp[:, :, 1], cp[:, :, 2]
-    cg = win(g_p)
-    cv = win(valid_p)
-    cols_idx = w_idx
+    def side(which):
+        """Column-side tensors for window 1 (left) or 2 (right)."""
+        w, idx, extra = (win, w_idx, None) if which == 1 else (
+            win2, w_idx2, fresh2)
+        cp = w(pos_p)  # (nchunks, W, 3)
+        cvm = w(valid_p)
+        if extra is not None:
+            cvm = cvm & extra
+        return (cp[:, :, 0], cp[:, :, 1], cp[:, :, 2], w(g_p), cvm, idx)
 
-    def nbr_mask():
-        """(nchunks, chunk, W) neighbor mask (excl. self).
+    sides = (side(1), side(2))
+
+    def nbr_mask(s):
+        """(nchunks, chunk, W) neighbor mask (excl. self) for one window.
 
         The squared distance is UNROLLED over x/y/z (no inner reduction) so
         the whole mask is a pure-elementwise producer of each consuming
         reduction — XLA fuses it into tiles; a `sum(d*d, -1)` inner reduce
         makes XLA materialize the (nchunks, chunk, W) tensor (2.4 GB here).
         """
+        cx, cy, cz, cg_, cv_, cidx = s
         dx = rx[:, :, None] - cx[:, None, :]
         dy = ry[:, :, None] - cy[:, None, :]
         dz = rz[:, :, None] - cz[:, None, :]
         d2 = dx * dx + dy * dy + dz * dz
         return (
             (d2 <= r2)
-            & (rg[:, :, None] == cg[:, None, :])
-            & cv[:, None, :]
+            & (rg[:, :, None] == cg_[:, None, :])
+            & cv_[:, None, :]
             & rv[:, :, None]
-            & (rows_idx[:, :, None] != cols_idx[:, None, :])
+            & (rows_idx[:, :, None] != cidx[:, None, :])
         )
 
     # ---- pass 1: density ----
-    density_s = jnp.sum(nbr_mask(), axis=2).reshape(npad)[:n].astype(jnp.int32)
+    density_s = (
+        jnp.sum(nbr_mask(sides[0]), axis=2)
+        + jnp.sum(nbr_mask(sides[1]), axis=2)
+    ).reshape(npad)[:n].astype(jnp.int32)
     hp_s = (density_s >= min_pts) & valid_s
     hp_p = pad_to(hp_s, False)
-    hp_w = win(hp_p)  # (nchunks, W), static across prop iterations
+    hp_ws = (win(hp_p), win2(hp_p))  # static across prop iterations
     hp_r = hp_p.reshape(nchunks, chunk)
 
     # ---- pass 2: min-label propagation over HP-HP edges ----
@@ -228,9 +270,12 @@ def binary_cluster(
     )
 
     def prop_once(label_p):
-        m = nbr_mask() & hp_w[:, None, :]
-        nbr_lab = jnp.where(m, win(label_p)[:, None, :], INF_I32)
-        best = jnp.min(nbr_lab, axis=2)
+        lab_ws = (win(label_p), win2(label_p))
+        best = jnp.full((nchunks, chunk), INF_I32)
+        for s, hw, lw in zip(sides, hp_ws, lab_ws):
+            m = nbr_mask(s) & hw[:, None, :]
+            nbr_lab = jnp.where(m, lw[:, None, :], INF_I32)
+            best = jnp.minimum(best, jnp.min(nbr_lab, axis=2))
         cur = label_p.reshape(nchunks, chunk)
         new = jnp.where(hp_r, jnp.minimum(cur, best), cur)
         return new.reshape(npad)
@@ -240,10 +285,26 @@ def binary_cluster(
         hop = jnp.where(label < n, label[tgt], label)
         return jnp.minimum(label, hop)
 
-    def prop_body(_, label_p):
-        return jump(jump(prop_once(label_p)))
+    def prop_cond(state):
+        it, changed, _ = state
+        return (it < prop_iters) & changed
 
-    label_p = jax.lax.fori_loop(0, prop_iters, prop_body, init_label_p)
+    def prop_body(state):
+        it, _, label_p = state
+        # one neighbor-min pass (the expensive banded tile op), then four
+        # pointer-jump hops (cheap (N,) gathers) for aggressive path
+        # compression — fewer banded passes to convergence
+        new = prop_once(label_p)
+        for _ in range(4):
+            new = jump(new)
+        return it + 1, jnp.any(new != label_p), new
+
+    # bounded while: early-exit at fixpoint (each iteration re-evaluates the
+    # banded neighbor mask, the dominant cost; most scenes converge in a few
+    # rounds thanks to the two pointer-jump hops per round)
+    _, _, label_p = jax.lax.while_loop(
+        prop_cond, prop_body, (jnp.int32(0), jnp.bool_(True), init_label_p)
+    )
     label_s = label_p[:n]  # HP -> root (sorted index); LP/invalid -> INF
 
     # first ORIGINAL index per component (the reference's seed identity)
@@ -260,11 +321,21 @@ def binary_cluster(
 
     # ---- border LPs: adopt the component with the LARGEST first-original
     # index among HP neighbors (last-BFS-wins, binary.cu:206-213) ----
-    m = nbr_mask() & hp_w[:, None, :]
-    nbr_first = jnp.where(m, win(first_p)[:, None, :], -1)
-    best_first = jnp.max(nbr_first, axis=2)  # -1 if no HP neighbor
-    amax = jnp.argmax(nbr_first, axis=2)  # (nchunks, chunk)
-    best_root = jnp.take_along_axis(win(label_p), amax, axis=1)
+    bf_sides, br_sides = [], []
+    for s, hw, fw, lw in zip(
+        sides, hp_ws, (win(first_p), win2(first_p)),
+        (win(label_p), win2(label_p)),
+    ):
+        m = nbr_mask(s) & hw[:, None, :]
+        nbr_first = jnp.where(m, fw[:, None, :], -1)
+        bf_sides.append(jnp.max(nbr_first, axis=2))  # -1 if no HP neighbor
+        amax = jnp.argmax(nbr_first, axis=2)  # (nchunks, chunk)
+        br_sides.append(jnp.take_along_axis(lw, amax, axis=1))
+    # union max over both windows; on equal first-orig the components are
+    # identical (first-orig uniquely identifies a component), either root ok
+    use2 = bf_sides[1] > bf_sides[0]
+    best_first = jnp.where(use2, bf_sides[1], bf_sides[0])
+    best_root = jnp.where(use2, br_sides[1], br_sides[0])
     border_first = best_first.reshape(npad)[:n]
     border_root = best_root.reshape(npad)[:n]
     is_border = (~hp_s) & valid_s & (border_first >= 0)
@@ -316,29 +387,101 @@ def binary_cluster(
     orig_s = orig[perm]
     assigned = cid_filtered >= 0
     if nv_flag:
+        # Two-phase exact 1-NN (reference: brute-force O(noise*N),
+        # binary_cuda_functions.cu:258-302):
+        #   1. banded window pass over the SAME (nchunks, chunk, W) tiles as
+        #      the density pass — candidates outside the window have
+        #      |l1(p)-l1(q)| >= margin, hence d2 >= margin^2/3, so a window
+        #      hit with best_d2 <= margin^2/3 is PROVABLY the global 1-NN;
+        #   2. the few unproven rows go through a compacted exact pass
+        #      (static cap; overflow rows keep the window answer, counted in
+        #      nn_overflow).
+        # Tie-break in both phases: the reference's `dist <= best` loop over
+        # the l1-sorted order means the LATER sorted index wins — realized by
+        # argmin over the reversed candidate axis.  (A tie between a window
+        # candidate and an unexamined equal-distance candidate outside the
+        # window could in principle pick the other point; measure zero on
+        # real coordinates.)
         need = (~assigned) & valid_s
-        # compact the points needing assignment into a static quarter-size
-        # row block: with trained offsets the unassigned fraction is small.
-        # Overflow is left unassigned (conservative) — detectable via sizes.
-        noise_cap = min(max(256, npad // 4), n)
-        need_key = jnp.where(need, 0, 1).astype(jnp.int32)
-        srt_key, noise_rows = jax.lax.sort(
-            (need_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-        )
-        noise_rows = noise_rows[:noise_cap]
-        noise_live = srt_key[:noise_cap] == 0
-        q_pos = orig_s[noise_rows]
-        q_g = g_s[noise_rows]
-
         orig_p = pad_to(orig_s, 1e9)
         assigned_p = pad_to(assigned, False)
         cid_p = pad_to(cid_filtered, -1)
+        l1_pd = pad_to(l1_s, np.inf)
 
-        # one fused masked argmin over ALL candidates; the reference's CUDA
-        # loop uses `dist <= best` so the LATER index wins ties — realized
-        # here by argmin over the reversed candidate axis.  Distances are
-        # unrolled over x/y/z (see nbr_mask) so the (noise, npad) tensor is
-        # never materialized (22 GB otherwise).
+        # candidate windows REVERSED along the window axis (cheap 2-D
+        # reversals) so plain argmin returns the LAST forward-order minimum
+        # — reversing the (nchunks, chunk, W) distance tensor instead would
+        # materialize 2.4 GB.  Both dual windows are searched; the right
+        # window's fresh columns hold strictly LATER sorted indices, so on a
+        # cross-window tie the right window wins (dist <= best semantics).
+        rx3 = (orig_p[:, 0].reshape(nchunks, chunk),
+               orig_p[:, 1].reshape(nchunks, chunk),
+               orig_p[:, 2].reshape(nchunks, chunk))
+
+        def band_1nn(which):
+            w, anc, fr = ((win, anchor, None) if which == 1
+                          else (win2, anchor2, fresh2))
+            cwx, cwy, cwz = (w(orig_p[:, a])[:, ::-1] for a in range(3))
+            cass = w(assigned_p)[:, ::-1]
+            if fr is not None:
+                cass = cass & fr[:, ::-1]
+            cgr = w(g_p)[:, ::-1]
+            dxw = rx3[0][:, :, None] - cwx[:, None, :]
+            dyw = rx3[1][:, :, None] - cwy[:, None, :]
+            dzw = rx3[2][:, :, None] - cwz[:, None, :]
+            d2w = dxw * dxw + dyw * dyw + dzw * dzw
+            mokw = cass[:, None, :] & (rg[:, :, None] == cgr[:, None, :])
+            d2wm = jnp.where(mokw, d2w, jnp.inf)
+            jrev = jnp.argmin(d2wm, axis=2).astype(jnp.int32)
+            wj = (W - 1) - jrev
+            bd2 = jnp.take_along_axis(d2wm, jrev[:, :, None], axis=2)[:, :, 0]
+            return bd2, anc[:, None] + wj  # window col -> padded sorted row
+
+        bd2_1, j1 = band_1nn(1)
+        bd2_2, j2b = band_1nn(2)
+        take2 = bd2_2 <= bd2_1  # right fresh indices are later: ties -> right
+        best_d2 = jnp.where(take2, bd2_2, bd2_1)
+        j_band = jnp.where(take2, j2b, j1)
+        found_band = jnp.isfinite(best_d2)
+        cid_band = jnp.where(
+            found_band, jnp.take(cid_p, jnp.clip(j_band, 0, npad - 1)), -1
+        ).reshape(npad)[:n]
+        found_band_f = found_band.reshape(npad)[:n]
+        best_d2_f = best_d2.reshape(npad)[:n]
+
+        # provable-exactness margin (l1 distance to the union's edges; inf
+        # when flush with the array ends).  Cross-group edges only shrink the
+        # margin (conservative).  Non-contiguous unions (span > 2W) prove
+        # nothing — margin 0 routes those rows to the exact fallback.
+        l1_lo = jnp.take(l1_pd, anchor)  # (nchunks,)
+        l1_hi = jnp.take(l1_pd, jnp.minimum(anchor2 + W - 1, npad - 1))
+        l1_row = l1_pd.reshape(nchunks, chunk)
+        m_lo = jnp.where(anchor[:, None] > 0, l1_row - l1_lo[:, None], np.inf)
+        m_hi = jnp.where(
+            (anchor2 + W)[:, None] < npad, l1_hi[:, None] - l1_row, np.inf
+        )
+        contig_c = (anchor2 <= anchor + W)[:, None]
+        margin = jnp.where(
+            contig_c, jnp.maximum(jnp.minimum(m_lo, m_hi), 0.0), 0.0
+        )
+        proven = (found_band & (best_d2 <= margin * margin / 3.0)).reshape(
+            npad
+        )[:n]
+
+        # ---- exact fallback for unproven rows (compacted, static cap) ----
+        F = min(max(256, npad // 32), n)
+        need_f = need & ~proven
+        order_key = jnp.where(need_f, 0, 1).astype(jnp.int32)
+        srt_key, f_rows = jax.lax.sort(
+            (order_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        f_rows = f_rows[:F]
+        f_live = srt_key[:F] == 0
+        nn_overflow = jnp.maximum(
+            jnp.sum(need_f.astype(jnp.int32)) - F, 0
+        ).astype(jnp.int32)
+        q_pos = orig_s[f_rows]
+        q_g = g_s[f_rows]
         cxr, cyr, czr = (orig_p[::-1, a] for a in range(3))
         dx = q_pos[:, None, 0] - cxr[None, :]
         dy = q_pos[:, None, 1] - cyr[None, :]
@@ -346,17 +489,24 @@ def binary_cluster(
         d2 = dx * dx + dy * dy + dz * dz
         mok = assigned_p[::-1][None, :] & (g_p[::-1][None, :] == q_g[:, None])
         d2m = jnp.where(mok, d2, jnp.inf)
-        jrev = jnp.argmin(d2m, axis=1).astype(jnp.int32)
-        j = npad - 1 - jrev
-        found = jnp.take(assigned_p, j) & (jnp.take(g_p, j) == q_g)
-        best_cid = jnp.where(found, cid_p[j], -1)
+        jr2 = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+        j2 = npad - 1 - jr2
+        found2 = jnp.take(assigned_p, j2) & (jnp.take(g_p, j2) == q_g)
+        cid_exact = jnp.where(found2, cid_p[j2], -1)
 
-        scatter_rows = jnp.where(noise_live, noise_rows, n)
-        cid_final_s = jnp.zeros((n + 1,), jnp.int32).at[: n].set(
-            cid_filtered
-        ).at[scatter_rows].set(jnp.where(noise_live, best_cid, -1))[:n]
+        # combine: band answer where needed, overwritten by the exact pass
+        cid_final_s = jnp.where(
+            need & found_band_f, cid_band, cid_filtered
+        )
+        scatter_rows = jnp.where(f_live, f_rows, n)
+        cid_final_s = jnp.concatenate(
+            [cid_final_s, jnp.full((1,), -1, jnp.int32)]
+        ).at[scatter_rows].set(
+            jnp.where(f_live, cid_exact, -1)
+        )[:n]
     else:
         cid_final_s = cid_filtered
+        nn_overflow = jnp.int32(0)
 
     # ---- per-cluster mean of shifted coords (binary_cuda_functions.cu:217) ----
     seg = jnp.where(cid_final_s >= 0, cid_final_s, cluster_cap)
@@ -395,4 +545,5 @@ def binary_cluster(
         cluster_size=fsize,
         cluster_valid=fvalid,
         band_overflow=band_overflow,
+        nn_overflow=nn_overflow,
     )

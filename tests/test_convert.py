@@ -209,20 +209,25 @@ class TestReferencePthGolden:
             pytest.skip("golden values not recorded yet")
         np.testing.assert_allclose(digest, golden_digest, rtol=2e-2,
                                    err_msg="stage-1 output drift")
-        np.testing.assert_allclose(probe, golden_probe, rtol=5e-2, atol=2e-3,
+        np.testing.assert_allclose(probe, golden_probe, rtol=5e-2, atol=2e-4,
                                    err_msg="stage-1 output drift (probe)")
 
 
+# Regenerated after fixing the missing-neighbor gather: jnp.take(mode="fill")
+# wraps index -1 to the LAST row, so -1 kernel-map entries silently added
+# feats[cap-1] whenever a level ran at full capacity (the prior goldens baked
+# that corruption in).  Missing neighbors now contribute exactly zero, matching
+# MinkowskiEngine semantics (reference conv via ME.MinkowskiConvolution).
 GOLDEN_STAGE1_DIGEST = np.array(
-    [7.01658936e02, 1.29878845e03, 2.27357835e-01, -1.68668374e-01]
+    [3.79070735e00, 1.40111275e01, 9.43945348e-03, -1.04926862e-02]
 )
 GOLDEN_STAGE1_PROBE = np.array(
-    [[0.10060173, 0.03848581, -0.09091655],
-     [0.10165502, 0.03691387, -0.09070564],
-     [0.10079956, 0.0381734, -0.0912345],
-     [0.10181858, 0.03711214, -0.09059269],
-     [0.09954618, 0.03823834, -0.09094474],
-     [0.09965239, 0.03800674, -0.09090441],
-     [0.10057022, 0.03791448, -0.09218684],
-     [0.09851143, 0.03769851, -0.09031052]], dtype=np.float32,
+    [[2.6848016e-04, 2.8367020e-04, -1.5183614e-06],
+     [5.1325239e-04, -2.1204094e-03, -3.0850612e-03],
+     [2.8059629e-04, 3.5928743e-04, -5.8818399e-04],
+     [1.3271667e-03, -3.9245514e-04, -1.2040356e-03],
+     [-2.7439749e-04, 6.7651374e-05, -1.2861997e-04],
+     [6.1068742e-05, -1.9932736e-04, 3.3810604e-05],
+     [-7.6885335e-05, -1.7850689e-05, -6.7034288e-04],
+     [-5.2560953e-04, -1.2909250e-04, -5.4357201e-04]], dtype=np.float32,
 )

@@ -242,3 +242,121 @@ class TestConvVJP:
                 np.testing.assert_allclose(a, b, atol=tol)
             close(np.asarray(gx_r)[vmask], np.asarray(gx_n)[vmask])
             close(gw_r, gw_n)
+
+
+class TestWindowImg2col:
+    """The z-window img2col must match scalar img2col for every sub-window
+    plan (kz*C <= 128 one-gather windows, split windows for wider rows)."""
+
+    def _sparse_level(self, rng, side=9, keep=0.55):
+        coords = np.array(
+            [(0, x, y, z) for x in range(side) for y in range(side)
+             for z in range(side)], np.int32,
+        )
+        coords = coords[rng.rand(len(coords)) < keep]
+        n = coords.shape[0]
+        cap = n + 7
+        cpad = np.zeros((cap, 4), np.int32)
+        cpad[:n] = coords
+        valid = np.arange(cap) < n
+        return tp.level_from_coords(
+            jnp.asarray(cpad), jnp.asarray(valid), cap, 1), n
+
+    def test_window_matches_scalar(self, rng):
+        lv, n = self._sparse_level(rng)
+        for k, kz in [(3, 3), (5, 5), (2, 2)]:
+            if k == 2:
+                down = tp.downsample(lv, 2, lv.cap)
+                km = tp.conv_map(down, lv, 2)
+            else:
+                km = tp.conv_map(lv, lv, k)
+            for cin in (6, 16, 32, 34, 48, 96):
+                feats = jnp.asarray(
+                    rng.randn(lv.cap, cin).astype(np.float32)
+                ) * jnp.asarray(lv.valid)[:, None]
+                w = sparse_ops._window_plan(kz, cin)
+                scalar = jnp.take(
+                    feats.astype(sparse_ops.COMPUTE_DTYPE), km, axis=0,
+                    mode="fill", fill_value=0,
+                ).reshape(km.shape[0], k**3 * cin)
+                if w is None:
+                    continue
+                windowed = sparse_ops._window_img2col(feats, km, kz, w)
+                np.testing.assert_allclose(
+                    np.asarray(windowed, np.float32),
+                    np.asarray(scalar, np.float32),
+                    err_msg=f"k={k} cin={cin} w={w}",
+                )
+                # column-reversed (backward) maps must also reconstruct
+                windowed_r = sparse_ops._window_img2col(
+                    feats, km[:, ::-1], kz, w
+                )
+                scalar_r = jnp.take(
+                    feats.astype(sparse_ops.COMPUTE_DTYPE), km[:, ::-1],
+                    axis=0, mode="fill", fill_value=0,
+                ).reshape(km.shape[0], k**3 * cin)
+                np.testing.assert_allclose(
+                    np.asarray(windowed_r, np.float32),
+                    np.asarray(scalar_r, np.float32),
+                    err_msg=f"reversed k={k} cin={cin} w={w}",
+                )
+
+    def test_plan_lane_budget(self):
+        assert sparse_ops._window_plan(3, 6) == 3
+        assert sparse_ops._window_plan(3, 32) == 3   # 96 lanes, one tile
+        assert sparse_ops._window_plan(3, 48) == 2
+        assert sparse_ops._window_plan(3, 96) is None  # 2 tiles: direct wins
+        assert sparse_ops._window_plan(5, 32) == 4   # chunks [4, 1]
+        assert sparse_ops._window_plan(5, 34) == 3   # chunks [3, 2]
+        assert sparse_ops._window_plan(2, 64) == 2
+        assert sparse_ops._window_plan(2, 128) is None
+        assert sparse_ops._window_plan(None, 32) is None
+
+
+class TestMissingNeighborZero:
+    """A -1 kernel-map entry must contribute exactly zero even when the
+    input level runs at FULL capacity (last row valid and nonzero).
+
+    Regression: jnp.take(mode="fill") wraps -1 to the last row instead of
+    filling, so full levels silently added feats[cap-1] per missing
+    neighbor (and dy[cap-1] in the gradient)."""
+
+    def test_fwd_and_bwd_ignore_missing(self, rng):
+        # 1-D line of voxels at z = {0, 1, 3, 6} with k=3 offsets (-1,0,+1):
+        # a geometrically valid same-level map with many missing neighbors.
+        n, k, cin, cout = 4, 3, 5, 2
+        feats = jnp.asarray(rng.randn(n, cin).astype(np.float32)) + 1.0
+        w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32) * 0.1)
+        valid = jnp.ones((n,), bool)  # FULL capacity: row n-1 valid+nonzero
+        kmap = jnp.asarray(np.array(
+            [[-1, 0, 1], [0, 1, -1], [-1, 2, -1], [-1, 3, -1]], np.int32))
+        kmap_bwd = kmap[:, ::-1]  # symmetric same-level offsets
+
+        def run(with_bwd_map):
+            return sparse_ops.gather_conv(
+                feats, kmap, w, valid,
+                kmap_bwd=kmap_bwd if with_bwd_map else None)
+
+        y = run(True)
+        # manual reference: sum over present slots only
+        ref = np.zeros((n, cout), np.float32)
+        kn, fn, wn = np.asarray(kmap), np.asarray(feats), np.asarray(w)
+        for i in range(n):
+            for s in range(k):
+                if kn[i, s] >= 0:
+                    ref[i] += fn[kn[i, s]] @ wn[s]
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(run(False)), ref,
+                                   rtol=2e-2, atol=2e-2)
+
+        # isolated voxel (row 2): exactly the center tap, nothing from row 3
+        np.testing.assert_allclose(
+            np.asarray(y)[2], fn[2] @ wn[1], rtol=2e-2, atol=2e-2)
+
+        # gradient wrt feats: gather-form backward must also drop -1 slots
+        g_gather = jax.grad(lambda f: jnp.sum(sparse_ops.gather_conv(
+            f, kmap, w, valid, kmap_bwd=kmap_bwd) ** 2))(feats)
+        g_auto = jax.grad(lambda f: jnp.sum(sparse_ops.gather_conv(
+            f, kmap, w, valid) ** 2))(feats)
+        np.testing.assert_allclose(np.asarray(g_gather), np.asarray(g_auto),
+                                   rtol=5e-2, atol=5e-2)
