@@ -112,8 +112,8 @@ def main():
         voxel_caps=(98_304, 45_056, 16_384, 6_144, 2_048),
         cluster_cap=128,
         local_point_cap=73_728,
-        local_voxel_caps=(57_344, 28_672, 12_288, 5_120, 2_048),
-        score_voxel_caps=(57_344, 28_672, 12_288, 5_120, 2_048),
+        local_voxel_caps=(49_152, 24_576, 10_240, 5_120, 2_048),
+        score_voxel_caps=(49_152, 24_576, 10_240, 5_120, 2_048),
         instance_cap=128,
         cluster_band=4_096,
         # tight extent for a single ~4.5m scene: smaller dense-grid tables

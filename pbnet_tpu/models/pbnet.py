@@ -350,40 +350,80 @@ class PBNet(nn.Module):
             return {"cluster": res, "mask_scores": mask_score,
                     "prop_point_pid": final_pid}
         # ---- ScoreNet (:254-279) ----
-        sxyz = scene_xyz * self.scale_size / self.voxel_size
-        q3 = qz.quantize_device(
-            jnp.where(kept[:, None], sxyz, 0.0),
-            jnp.where(kept, final_pid, -1), kept, sh.score_voxel_caps[0],
-        )
-        lv3 = tp.level_from_quantize(q3, sh.score_voxel_caps[0], 1)
-        feats3 = jnp.take(feat32, q3["voxel2point"], axis=0, mode="fill", fill_value=0)
-        feats3 = jnp.where(lv3.valid[:, None], feats3, 0.0)
-        # ScoreNet coords = xyz*scale/voxel: same lattice when scale==1
-        use_comp3 = (
+        # ScoreNet re-voxelizes the KEPT proposal points at scale/voxel
+        # (/root/reference/network/PBNet.py:259-271).  When that lattice is
+        # the local-scene lattice (scale==1), quantizing a subset of points
+        # yields exactly the D_Unet voxels that contain >=1 kept point — so
+        # instead of a second quantize + topology build, DERIVE the ScoreNet
+        # topology from topo2: mask dropped voxels invalid (level by level
+        # through the down maps) and reuse every kernel map unchanged.
+        # Every layer re-zeroes invalid rows (nn/modules.py convention), so
+        # a map entry pointing at a dropped voxel reads zeros — identical to
+        # a -1 entry.  Proposal ids relabel monotonically (pid2), preserving
+        # key order.
+        derive3 = (
             sh.grid_extent is not None and self.voxel_size == LOCAL_VOXEL
             and self.scale_size == 1.0
         )
-        # final-pid -> scene batch (through the pre-threshold pid)
-        batch_of_pid2 = jnp.zeros((P + 1,), jnp.int32).at[
-            jnp.where(pid_alive, pid2, P)
-        ].set(jnp.clip(pid_batch, 0, 63))[:P]
-
-        def score_grids(lv):
-            if not use_comp3:
-                return None
-            l = int(np.log2(lv.stride))
-            return tp.build_pid_grid(
-                lv, main_levels[l], main_grids[l], batch_of_pid2, P
+        V2 = sh.local_voxel_caps[0]
+        if derive3:
+            t_i = jnp.arange(T, dtype=jnp.int32)
+            seg_v = jnp.where(kept & (p2v2 >= 0), p2v2, V2)
+            kept_in_vox = jax.ops.segment_sum(
+                kept.astype(jnp.int32), seg_v, num_segments=V2 + 1
+            )[:V2]
+            # representative = first kept scene point of the voxel (matches
+            # quantize_device's first-in-order representative on the subset)
+            rep3 = jax.ops.segment_min(
+                jnp.where(kept & (p2v2 >= 0), t_i, jnp.int32(T)),
+                seg_v, num_segments=V2 + 1,
+            )[:V2]
+            keeps = [topo2.levels[0].valid & (kept_in_vox > 0)]
+            for l in range(len(topo2.down_maps)):
+                km = topo2.down_maps[l]  # (M_{l+1}, 8)
+                child_keep = (km >= 0) & jnp.take(
+                    keeps[l], jnp.clip(km, 0, None), axis=0
+                )
+                keeps.append(topo2.levels[l + 1].valid & jnp.any(child_keep, 1))
+            topo3 = topo2.replace(levels=tuple(
+                lv.replace(valid=kp, count=jnp.sum(kp.astype(jnp.int32)))
+                for lv, kp in zip(topo2.levels, keeps)
+            ))
+            v3_valid = keeps[0]
+            feats3 = jnp.take(
+                feat32, jnp.minimum(rep3, T - 1), axis=0, mode="clip"
             )
-
-        topo3 = tp.build_unet_topology(
-            lv3, list(sh.score_voxel_caps), grids=score_grids
-        )
+            feats3 = jnp.where(v3_valid[:, None], feats3, 0.0)
+            # voxel -> final proposal id through the voxel's scene pid
+            vb3 = jnp.take(
+                pid2, jnp.clip(topo2.levels[0].coords[:, 0], 0, P - 1)
+            )
+            score_count = jnp.sum(keeps[0].astype(jnp.int32))
+            score_overflow = jnp.int32(0)  # subset of topo2: cannot overflow
+        else:
+            sxyz = scene_xyz * self.scale_size / self.voxel_size
+            q3 = qz.quantize_device(
+                jnp.where(kept[:, None], sxyz, 0.0),
+                jnp.where(kept, final_pid, -1), kept, sh.score_voxel_caps[0],
+            )
+            lv3 = tp.level_from_quantize(q3, sh.score_voxel_caps[0], 1)
+            feats3 = jnp.take(
+                feat32, q3["voxel2point"], axis=0, mode="fill", fill_value=0
+            )
+            feats3 = jnp.where(lv3.valid[:, None], feats3, 0.0)
+            topo3 = tp.build_unet_topology(
+                lv3, list(sh.score_voxel_caps), grids=lambda lv: None
+            )
+            v3_valid = topo3.levels[0].valid
+            vb3 = topo3.levels[0].coords[:, 0]
+            score_count = q3["count"]
+            score_overflow = jnp.maximum(
+                q3["count"] - sh.score_voxel_caps[0], 0
+            ) + topo3.level_overflow
         iou_feat = self.score_Unet(topo3, feats3, train)
-        iou_feat = self.linear_IOU_feat(iou_feat, topo3.levels[0].valid, train)
-        vb3 = topo3.levels[0].coords[:, 0]
-        gmax = sparse_ops.global_pool(iou_feat, vb3, topo3.levels[0].valid, P, "max")
-        gavg = sparse_ops.global_pool(iou_feat, vb3, topo3.levels[0].valid, P, "avg")
+        iou_feat = self.linear_IOU_feat(iou_feat, v3_valid, train)
+        gmax = sparse_ops.global_pool(iou_feat, vb3, v3_valid, P, "max")
+        gavg = sparse_ops.global_pool(iou_feat, vb3, v3_valid, P, "avg")
         gfeat = gmax + gavg
         pvalid2 = jnp.arange(P) < num_final
         clt_scores = self.linear_IOU(gfeat, pvalid2, train)[:, 0]
@@ -396,15 +436,14 @@ class PBNet(nn.Module):
             "local_vox": jnp.maximum(q2["count"] - sh.local_voxel_caps[0], 0)
             + topo2.level_overflow,
             "local_grid": topo2.grid_overflow,
-            "score_vox": jnp.maximum(q3["count"] - sh.score_voxel_caps[0], 0)
-            + topo3.level_overflow,
+            "score_vox": score_overflow,
             "score_grid": topo3.grid_overflow,
         }
         # actual utilization (vs caps) — drives right-sizing StaticShapes
         usage = {
             "scene_points": total,
             "local_vox": q2["count"],
-            "score_vox": q3["count"],
+            "score_vox": score_count,
             "kept_points": jnp.sum(kept.astype(jnp.int32)),
         }
 

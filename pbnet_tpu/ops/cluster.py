@@ -265,8 +265,35 @@ def binary_cluster(
     hp_r = hp_p.reshape(nchunks, chunk)
 
     # ---- pass 2: min-label propagation over HP-HP edges ----
+    # Same-cell pre-merge: quantize shifted coords at g = r/sqrt(3); any two
+    # points of one (group, cell) sit within the cell diagonal g*sqrt(3) = r,
+    # so same-cell HPs are provably direct neighbors and can be union'd with
+    # one sort + segment-min BEFORE the banded passes.  Offset-shifted scenes
+    # collapse whole instances into a few cells, so this merges exactly the
+    # blobs that otherwise force extra propagation rounds (each round costs a
+    # full (nchunks, chunk, W) neighbor evaluation).
+    inv_g = jnp.float32(np.sqrt(3.0) / radius)
+    cell = jnp.floor(pos * inv_g).astype(jnp.int32)
+    ck = (
+        jnp.where(valid_s & hp_s, g_s, INF_I32),
+        cell[:, 0], cell[:, 1], cell[:, 2],
+    )
+    sidx = jnp.arange(n, dtype=jnp.int32)
+    k0, k1, k2, k3, cperm = jax.lax.sort(ck + (sidx,), num_keys=4)
+    bnd = (
+        (k0 != jnp.roll(k0, 1)) | (k1 != jnp.roll(k1, 1))
+        | (k2 != jnp.roll(k2, 1)) | (k3 != jnp.roll(k3, 1))
+    ).at[0].set(True)
+    cseg = jnp.cumsum(bnd.astype(jnp.int32)) - 1  # (n,) cell rank, < n
+    init_raw = jnp.where(hp_s, sidx, INF_I32)
+    cell_min = jax.ops.segment_min(
+        init_raw[cperm], cseg, num_segments=n
+    )
+    premerged = jnp.full((n,), INF_I32, jnp.int32).at[cperm].set(
+        cell_min[cseg]
+    )
     init_label_p = pad_to(
-        jnp.where(hp_s, jnp.arange(n, dtype=jnp.int32), INF_I32), INF_I32
+        jnp.where(hp_s, premerged, INF_I32), INF_I32
     )
 
     def prop_once(label_p):
