@@ -116,6 +116,8 @@ def main():
         score_voxel_caps=(49_152, 24_576, 10_240, 5_120, 2_048),
         instance_cap=128,
         cluster_band=4_096,
+        fg_point_cap=65_536,
+        nn_exact_cap=1_024,
         # tight extent for a single ~4.5m scene: smaller dense-grid tables
         # gather ~2-3x faster than the 1GB worst-case table
         grid_extent=(1, 256, 256, 160),

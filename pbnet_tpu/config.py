@@ -40,6 +40,12 @@ class StaticShapes:
     instance_cap: int = 192
     # banded neighbor window for clustering (columns per row chunk)
     cluster_band: int = 4096
+    # cap on foreground (clusterable, sem>=2 + class-gated) points: the
+    # clustering work is compacted to this many rows before the banded
+    # passes (None = point_cap, no compaction).  Overflow is counted.
+    fg_point_cap: Optional[int] = None
+    # cap on rows routed to the exact 1-NN fallback (None = npad//32)
+    nn_exact_cap: Optional[int] = None
     # dense-grid lookup extent for the backbone topology (B, X, Y, Z) in
     # stride-1 voxel units; None falls back to binary search
     grid_extent: Optional[Tuple[int, int, int, int]] = (4, 512, 512, 256)
@@ -64,6 +70,9 @@ class StaticShapes:
             local_point_cap=r(self.local_point_cap, 4096),
             local_voxel_caps=tuple(r(v, 512) for v in self.local_voxel_caps),
             score_voxel_caps=tuple(r(v, 512) for v in self.score_voxel_caps),
+            fg_point_cap=(
+                r(self.fg_point_cap, 4096) if self.fg_point_cap else None
+            ),
         )
 
 

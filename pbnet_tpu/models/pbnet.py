@@ -159,12 +159,43 @@ class PBNet(nn.Module):
         fg = ok & (sem_p >= 2) & class_ok[sem_clip]
 
         # ---- clustering (replaces pbnet_ops.cluster, :176-179) ----
+        # Foreground compaction: the banded clustering passes cost
+        # O(rows * band) regardless of validity, but only fg points (the
+        # reference clusters per class over exactly those,
+        # /root/reference/network/PBNet.py:164-176) participate.  A stable
+        # sort packs them into the first fg_point_cap rows; relative order
+        # is preserved, so cluster ordering (keyed on first original index)
+        # is unchanged.  Overflowing fg points are counted, never silent.
         shifted = xyz + bb["offset_pred_p"]
-        res = cluster_ops.binary_cluster(
-            shifted, xyz, sem_p, pbatch, fg,
+        NF = sh.fg_point_cap or n
+        ckw = dict(
             radius=self.radius, min_pts=self.min_pts, count_mean=count_mean,
             cluster_cap=sh.cluster_cap, band=sh.cluster_band,
+            nn_exact_cap=sh.nn_exact_cap,
         )
+        if NF < n:
+            okey = jnp.where(fg, 0, 1).astype(jnp.int32)
+            _, sel = jax.lax.sort(
+                (okey, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+            )
+            sel = sel[:NF]
+            live = fg[sel]
+            fg_total = jnp.sum(fg.astype(jnp.int32))
+            fg_overflow = jnp.maximum(fg_total - NF, 0)
+            res_c = cluster_ops.binary_cluster(
+                shifted[sel], xyz[sel], sem_p[sel], pbatch[sel], live, **ckw
+            )
+            res = res_c._replace(
+                cluster_id=jnp.full((n,), -1, jnp.int32).at[sel].set(
+                    res_c.cluster_id
+                ),
+                density=jnp.zeros((n,), jnp.int32).at[sel].set(res_c.density),
+            )
+        else:
+            fg_overflow = jnp.int32(0)
+            res = cluster_ops.binary_cluster(
+                shifted, xyz, sem_p, pbatch, fg, **ckw
+            )
         if stop_after == "cluster":
             return {"cluster": res}
         C = sh.cluster_cap
@@ -314,6 +345,11 @@ class PBNet(nn.Module):
         topo2 = tp.build_unet_topology(
             lv2, list(sh.local_voxel_caps), grids=local_grids
         )
+        if stop_after == "topo2":
+            return {"cluster": res, "topo2_maps": (topo2.stem_map,
+                                                   topo2.k3_maps,
+                                                   topo2.down_maps),
+                    "feats2": feats2}
         d_feat = self.D_Unet(topo2, feats2, train)
         mask_v = self.linear_binary(d_feat, topo2.levels[0].valid, train)[:, 0]
         p2v2 = q2["point2voxel"]
@@ -432,6 +468,7 @@ class PBNet(nn.Module):
         overflow = {
             "cluster_band": res.band_overflow,
             "cluster_nn": res.nn_overflow,
+            "fg_points": fg_overflow,
             "scene_points": jnp.maximum(total - T, 0),
             "local_vox": jnp.maximum(q2["count"] - sh.local_voxel_caps[0], 0)
             + topo2.level_overflow,
@@ -444,6 +481,7 @@ class PBNet(nn.Module):
             "scene_points": total,
             "local_vox": q2["count"],
             "score_vox": score_count,
+            "fg_points": jnp.sum(fg.astype(jnp.int32)),
             "kept_points": jnp.sum(kept.astype(jnp.int32)),
         }
 

@@ -125,7 +125,10 @@ def _merge_searchsorted(g_s, l1_s, qg, ql1, side):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cluster_cap", "band", "chunk", "prop_iters", "nv_flag"),
+    static_argnames=(
+        "cluster_cap", "band", "chunk", "prop_iters", "nv_flag",
+        "nn_exact_cap",
+    ),
 )
 def binary_cluster(
     shifted: jnp.ndarray,  # (N, 3) f32 offset-shifted coords
@@ -142,6 +145,7 @@ def binary_cluster(
     band: int = 4096,
     chunk: int = 1024,
     prop_iters: int = 10,
+    nn_exact_cap: int | None = None,
 ) -> ClusterResult:
     n = shifted.shape[0]
     # group encodes (sem, batch) so cluster ordering matches the reference's
@@ -495,8 +499,10 @@ def binary_cluster(
             npad
         )[:n]
 
-        # ---- exact fallback for unproven rows (compacted, static cap) ----
-        F = min(max(256, npad // 32), n)
+        # ---- exact fallback for unproven rows (compacted, static cap;
+        # the pass costs F * npad distance checks, so the cap is a shapes
+        # knob — rows past it keep the window answer and are counted) ----
+        F = min(nn_exact_cap or max(256, npad // 32), n)
         need_f = need & ~proven
         order_key = jnp.where(need_f, 0, 1).astype(jnp.int32)
         srt_key, f_rows = jax.lax.sort(

@@ -22,6 +22,10 @@ TINY = StaticShapes(
     score_voxel_caps=(1024, 512, 256, 128, 64),
     instance_cap=8,
     cluster_band=1024,
+    # exercise the fg-compaction + capped exact-1NN clustering path
+    # (test_train's TINY leaves these None, covering the default path)
+    fg_point_cap=1024,
+    nn_exact_cap=128,
 )
 
 
