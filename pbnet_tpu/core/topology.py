@@ -138,15 +138,20 @@ class DenseGrid:
     Every lookup is one scalar gather whose flat index is base + static
     delta; the z pads make out-of-range z reads return -1 without a branch.
 
-    ``packed`` stacks the 5 z-shifts ``table[..., z-2..z+2]`` as rows of 5
-    (built with cheap shifts).  Kernel offsets enumerate dz fastest, so ONE
-    row gather of ``packed`` fetches all dz entries of an (output, dx, dy)
-    group — 5x (k=5) / 3x (k=3) fewer gather ops than scalar lookups, and
-    gathers here are op-count-bound, not byte-bound.
+    ``packed`` encodes the whole 5-entry z-window ``table[..., z-2..z+2]``
+    of each (row, z) slot in ONE int32: ``(rank0 + 1) << 5 | mask`` where
+    ``mask`` bit i marks presence at ``z - 2 + i`` and ``rank0`` is the row
+    id of the FIRST present entry.  This is lossless because row ids are
+    key-order ranks and nothing sorts between two voxels of one (b, x, y)
+    column: present entries of any z-window hold CONSECUTIVE ids, so entry
+    i = rank0 + popcount(mask below bit i).  One int32 lane per slot keeps
+    the table 5x smaller than stacking the 5 shifts, and 1-lane gathers
+    from big tables run ~2x faster than 5-lane rows (measured on v5e:
+    5.9 ns/op flat vs ~12 ns/op once the stacked table spills cache).
     """
 
     table: jnp.ndarray  # (R + 1, Zp) int32 row ids, -1 = empty
-    packed: jnp.ndarray  # ((R + 1) * Zp, 5) int32 z-window stack
+    packed: jnp.ndarray  # ((R + 1) * Zp,) int32 (rank0+1)<<5 | presence mask
     overflow: jnp.ndarray  # () int32: valid voxels outside the extent
     dims: tuple = flax.struct.field(pytree_node=False)  # (B, Xs, Ys, Zs)
     stride: int = flax.struct.field(pytree_node=False)
@@ -188,21 +193,47 @@ def build_grid(level: SparseLevel, extent: tuple) -> DenseGrid:
 
 
 def _pack_z(table2d: jnp.ndarray) -> jnp.ndarray:
-    """Stack z-shifts -2..+2 of a (R, Zp) table -> ((R*Zp), 5) rows.
+    """Rank+mask encode the z-window -2..+2 of a (R, Zp) table (see
+    DenseGrid.packed): one int32 ``(rank0 + 1) << 5 | mask`` per slot.
 
     Shifts stay within each z-row (fill -1), so window reads never leak
     across (b, x, y) rows.
     """
-    shifts = []
-    for dz in range(-Z_PAD, Z_PAD + 1):
+    mask = None
+    rank0 = None
+    for i, dz in enumerate(range(-Z_PAD, Z_PAD + 1)):
         if dz < 0:
             sh = jnp.pad(table2d[:, :dz], ((0, 0), (-dz, 0)), constant_values=-1)
         elif dz > 0:
             sh = jnp.pad(table2d[:, dz:], ((0, 0), (0, dz)), constant_values=-1)
         else:
             sh = table2d
-        shifts.append(sh.reshape(-1))
-    return jnp.stack(shifts, axis=1)
+        sh = sh.reshape(-1)
+        present = (sh >= 0).astype(jnp.int32)
+        bit = present << i
+        mask = bit if mask is None else mask | bit
+        # first present entry wins the rank slot
+        r = jnp.where(present > 0, sh, jnp.int32(2**30))
+        rank0 = r if rank0 is None else jnp.minimum(rank0, r)
+    rank0 = jnp.where(mask > 0, rank0, -1)
+    return ((rank0 + 1) << 5) | mask
+
+
+def _unpack_z(win: jnp.ndarray, cols) -> list:
+    """Decode packed z-window values at the static ``cols`` (kz,) offsets
+    -> list of (Q,) row-id arrays (-1 = missing)."""
+    mask = win & 31
+    rank0 = (win >> 5) - 1
+    # popcount of mask bits strictly below each column, unrolled (5 bits)
+    below = []
+    for c in cols:
+        c = int(c)
+        pc = jnp.zeros_like(mask)
+        for b in range(c):
+            pc = pc + ((mask >> b) & 1)
+        hit = (mask >> c) & 1
+        below.append(jnp.where(hit > 0, rank0 + pc, -1))
+    return below
 
 
 def grid_lookup(grid: DenseGrid, coords4: jnp.ndarray, qvalid: jnp.ndarray):
@@ -282,13 +313,13 @@ def grid_offsets_lookup(
         & (oy >= 0) & (oy < dims[2])
     )
     flat = ((b[:, None] * dims[1] + ox) * dims[2] + oy) * zp + qz[:, None] + Z_PAD
-    flat = jnp.where(ok, flat, (nrows + 1) * zp - 1)  # dummy row -> all -1
-    # 2-D gather + 2-D slice: flat (M*K2,) indices and a (Q, 5) result keep
-    # XLA on default layouts — a (M, K2, 5) intermediate made layout
-    # assignment pick transposed gathers + data-formatting copies that cost
-    # 10x the gather itself (profiled on the stem maps)
-    win = jnp.take(grid.packed, flat.reshape(-1), axis=0)  # (M*K2, 5)
-    out = win[:, int(cols[0]): int(cols[-1]) + 1]  # contiguous dz columns
+    flat = jnp.where(ok, flat, (nrows + 1) * zp - 1)  # dummy slot -> all -1
+    # ONE 1-lane gather per (out voxel, dx, dy) group, then a pure-VPU
+    # rank+mask decode (see DenseGrid.packed).  1-lane gathers from big
+    # tables run ~2x faster than 5-lane stacked rows (measured).
+    win = jnp.take(grid.packed, flat.reshape(-1), axis=0)  # (M*K2,)
+    entries = _unpack_z(win, cols)  # kz x (M*K2,)
+    out = jnp.stack(entries, axis=1)  # (M*K2, kz)
     return out.reshape(m, groups.shape[0] * groups.shape[1])  # (M, K)
 
 
@@ -306,6 +337,12 @@ class PidGrid:
 
     spatial: DenseGrid  # (b, x, y, z) -> global rank g at this stride
     table: jnp.ndarray  # (pid_cap * main_cap,) int32 local rows, -1 empty
+    # rank+mask window encoding of ``table`` (see DenseGrid.packed): slot s
+    # holds (rank0+1)<<5 | mask over flat slots [s-2, s+2].  Lossless: local
+    # rows follow main-rank order within one pid (local voxels are a subset
+    # of main voxels sorted by the same spatial key), so present entries of
+    # a flat window hold consecutive local rows.
+    packed: jnp.ndarray  # (pid_cap * main_cap + 1,) int32
     pid_batch: jnp.ndarray  # (pid_cap,) int32 scene-batch of each proposal
     overflow: jnp.ndarray  # () int32 local voxels absent from the main level
     pid_cap: int = flax.struct.field(pytree_node=False)
@@ -353,27 +390,21 @@ class PidGrid:
         size = self.pid_cap * self.main_cap
         pid_r = jnp.repeat(pid, k2, total_repeat_length=m * k2)
         base = jnp.where(any_p, pid_r * self.main_cap + anchor, size)
-        # shift-stacked pid table: col t holds table[flat + t - Z_PAD]
-        tbl = self.table  # (size,)
-        pad = jnp.full((Z_PAD,), -1, jnp.int32)
-        ext = jnp.concatenate(
-            [pad, tbl, jnp.full((1 + Z_PAD,), -1, jnp.int32)]
-        )  # slot `size` = -1 dummy, then right pad
-        pid5 = jnp.concatenate(
-            [ext[t: t + size + 1][:, None] for t in range(2 * Z_PAD + 1)],
-            axis=1,
-        )  # (size + 1, 5)
-        win = jnp.take(pid5, jnp.minimum(base, size), axis=0)  # (m*k2, 5)
+        # ONE 1-lane gather of the rank+mask packed table per group, then a
+        # pure-VPU decode at each slot's dynamic window position.
+        win = jnp.take(self.packed, jnp.minimum(base, size), axis=0)
+        mask = win & 31
+        rank0 = (win >> 5) - 1
         delta = jnp.clip(g2 - anchor[:, None], -Z_PAD, Z_PAD)  # (m*k2, kz)
         cols_out = []
         for ti in range(kz):
-            col = jnp.full((m * k2,), -1, jnp.int32)
-            for t in range(2 * Z_PAD + 1):
-                col = jnp.where(
-                    present[:, ti] & (delta[:, ti] == t - Z_PAD),
-                    win[:, t], col,
-                )
-            cols_out.append(col[:, None])
+            c = delta[:, ti] + Z_PAD  # dynamic bit index in [0, 5)
+            hit = present[:, ti] & (((mask >> c) & 1) > 0)
+            below = mask & ((jnp.int32(1) << c) - 1)
+            pc = jnp.zeros_like(mask)
+            for b2 in range(2 * Z_PAD + 1):
+                pc = pc + ((below >> b2) & 1)
+            cols_out.append(jnp.where(hit, rank0 + pc, -1)[:, None])
         row = jnp.concatenate(cols_out, axis=1)  # (m*k2, kz)
         return row.reshape(m, k2 * kz)
 
@@ -403,9 +434,28 @@ def build_pid_grid(level: SparseLevel, main_level: SparseLevel,
     flat = jnp.where(okf, pid * main_cap + g, size)
     rows = jnp.arange(level.cap, dtype=jnp.int32)
     table = jnp.full((size + 1,), -1, jnp.int32).at[flat].set(rows)[:size]
+    # rank+mask window encoding (see PidGrid.packed)
+    ext = jnp.concatenate([
+        jnp.full((Z_PAD,), -1, jnp.int32), table,
+        jnp.full((Z_PAD,), -1, jnp.int32),
+    ])
+    mask = None
+    rank0 = None
+    for i in range(2 * Z_PAD + 1):
+        sh = jax.lax.dynamic_slice_in_dim(ext, i, size)
+        present = (sh >= 0).astype(jnp.int32)
+        bit = present << i
+        mask = bit if mask is None else mask | bit
+        r = jnp.where(present > 0, sh, jnp.int32(2**30))
+        rank0 = r if rank0 is None else jnp.minimum(rank0, r)
+    rank0 = jnp.where(mask > 0, rank0, -1)
+    packed = jnp.concatenate([
+        ((rank0 + 1) << 5) | mask, jnp.zeros((1,), jnp.int32)
+    ])
     overflow = jnp.sum((level.valid & ~okf).astype(jnp.int32))
-    return PidGrid(spatial=spatial, table=table, pid_batch=pid_batch,
-                   overflow=overflow, pid_cap=pid_cap, main_cap=main_cap)
+    return PidGrid(spatial=spatial, table=table, packed=packed,
+                   pid_batch=pid_batch, overflow=overflow,
+                   pid_cap=pid_cap, main_cap=main_cap)
 
 
 def conv_map(
