@@ -127,7 +127,6 @@ def downsample(level: SparseLevel, s: int, cap: int) -> SparseLevel:
 # any supported kernel (max k//2 = 2 for the k=5 stem) without bound checks.
 Z_PAD = 2
 
-
 @flax.struct.dataclass
 class DenseGrid:
     """Dense voxel-occupancy lookup table for one SparseLevel.

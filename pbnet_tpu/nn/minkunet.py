@@ -23,6 +23,13 @@ from ..core.topology import UNetTopology
 from .modules import BLOCKS, BLOCK_EXPANSION, MaskedBatchNorm, SparseConv, SparseLinear, relu
 
 
+def _stem_conv(init_dim, topo: UNetTopology, feats, valid0):
+    """The k=5 stem conv off the topology's stem kernel map ('conv0')."""
+    conv = SparseConv(init_dim, topo.stem_map.shape[1], name="conv0")
+    return conv(feats, topo.stem_map, valid0,
+                kmap_bwd=topo.stem_map[:, ::-1])
+
+
 class MinkUNetBase(nn.Module):
     out_channels: int
     block: str = "basic"
@@ -53,9 +60,7 @@ class MinkUNetBase(nn.Module):
         exp = BLOCK_EXPANSION[self.block]
 
         # stem (conv0p1s1 k=5 + bn0 + relu), /root/reference/network/Mink.py:221-224,293-295
-        out = SparseConv(self.init_dim, topo.stem_map.shape[1], name="conv0")(
-            feats, topo.stem_map, v[0], kmap_bwd=topo.stem_map[:, ::-1]
-        )
+        out = _stem_conv(self.init_dim, topo, feats, v[0])
         out = MaskedBatchNorm(axis_name=ax, name="bn0")(out, v[0], train)
         out_p1 = relu(out)
 
@@ -111,9 +116,7 @@ class MinkMiniUNet(nn.Module):
         v = [l.valid for l in lv]
         blk = BLOCKS[self.block]
 
-        out = SparseConv(self.init_dim, topo.stem_map.shape[1], name="conv0")(
-            feats, topo.stem_map, v[0], kmap_bwd=topo.stem_map[:, ::-1]
-        )
+        out = _stem_conv(self.init_dim, topo, feats, v[0])
         out = MaskedBatchNorm(axis_name=ax, name="bn0")(out, v[0], train)
         out_p0 = relu(out)
 

@@ -62,11 +62,28 @@ def _window_img2col(feats, kmap, kz, w):
     Also correct for column-reversed maps (kmap_bwd = kmap[:, ::-1]):
     reversal maps aligned blocks to aligned blocks and the reconstruction
     never assumes dz is ascending.
+
+    Two reconstruction layouts, picked by measured crossover (v5e):
+
+    * m-major: the gathered window reshapes to (m, G, w, cin) and ONE select
+      per window slot builds all cw output slots at once.  Wins when rows are
+      narrow (cin <= 32 pads an (m*G, cin) buffer to a mostly-empty 128-lane
+      tile) or the chunk covers the whole z-run (w == kz: no chunk loop).
+      Measured: stem (cin=6, w=5) 18.3 -> 4.7 ms at 98k voxels.
+    * slot-major: strictly 2-D (m*G, cin) accumulation per output slot.
+      Wins for wide rows with short windows (cin=34 w=3: 6.8 vs 8.8 ms;
+      cin=64 w=2: 3.1 vs 3.2 ms).
+
+    The GATHER itself always stays 2-D ((m*G,) anchors into the w-stacked
+    table): 3-D/4-D gather operands made XLA pick transposed layouts and
+    insert data-formatting copies that dwarfed the gathers themselves
+    (profiled: 90 ms for a 3.3M-row window gather that costs ~5 ms in 2-D).
     """
     m, K = kmap.shape
     cin = feats.shape[1]
     G = K // kz
     assert G * kz == K, (K, kz)
+    mmajor = w == kz or cin <= 32
     f = feats.astype(COMPUTE_DTYPE)
     # stacked table: fS[a] = [f[a], f[a+1], ..., f[a+w-1]]  (zero pad at end)
     parts = [f]
@@ -76,10 +93,6 @@ def _window_img2col(feats, kmap, kz, w):
         )
     fS = jnp.concatenate(parts, axis=1)  # (M_in, w*Cin)
 
-    # Everything below stays strictly 2-D (rows = (m*G) flattened blocks):
-    # 3-D/4-D intermediates made XLA pick transposed gather layouts and
-    # insert data-formatting copies that dwarfed the gathers themselves
-    # (profiled: 90 ms for a 3.3M-row window gather that costs ~5 ms in 2-D).
     km2 = kmap.reshape(m * G, kz)
     big = jnp.int32(2**30)
     chunks = []
@@ -92,12 +105,26 @@ def _window_img2col(feats, kmap, kz, w):
             g1 = jnp.where(
                 present, jnp.take(f, idx, axis=0, mode="clip"), 0
             )
-            chunks.append(g1)
+            chunks.append(
+                g1.reshape(m, G, 1, cin) if mmajor else g1
+            )
             continue
         anchor = jnp.min(jnp.where(present, blk, big), axis=1)  # (mG,)
         anchor_c = jnp.where(anchor < big, anchor, 0)
         win2 = jnp.take(fS, anchor_c, axis=0, mode="clip")  # (mG, w*cin)
         pos = blk - anchor_c[:, None]  # (mG, cw) window position per slot
+        if mmajor:
+            win4 = win2.reshape(m, G, w, cin)
+            pos3 = pos.reshape(m, G, cw)
+            pres3 = present.reshape(m, G, cw)
+            out = jnp.zeros((m, G, cw, cin), f.dtype)
+            for s in range(w):
+                out = out + jnp.where(
+                    (pres3 & (pos3 == s))[..., None],
+                    win4[:, :, s : s + 1, :], 0,
+                )
+            chunks.append(out)  # (m, G, cw, cin)
+            continue
         outs = []
         for ti in range(cw):
             sel = jnp.zeros((m * G, cin), f.dtype)
@@ -110,7 +137,8 @@ def _window_img2col(feats, kmap, kz, w):
                 )
             outs.append(sel)
         chunks.append(jnp.concatenate(outs, axis=1))  # (mG, cw*cin)
-    g = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+    ax = 2 if mmajor else 1
+    g = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=ax)
     return g.reshape(m, K * cin)  # row layout == (G, kz, cin) flattened
 
 
