@@ -127,6 +127,7 @@ def downsample(level: SparseLevel, s: int, cap: int) -> SparseLevel:
 # any supported kernel (max k//2 = 2 for the k=5 stem) without bound checks.
 Z_PAD = 2
 
+
 @flax.struct.dataclass
 class DenseGrid:
     """Dense voxel-occupancy lookup table for one SparseLevel.
@@ -152,8 +153,17 @@ class DenseGrid:
     table: jnp.ndarray  # (R + 1, Zp) int32 row ids, -1 = empty
     packed: jnp.ndarray  # ((R + 1) * Zp,) int32 (rank0+1)<<5 | presence mask
     overflow: jnp.ndarray  # () int32: valid voxels outside the extent
-    dims: tuple = flax.struct.field(pytree_node=False)  # (B, Xs, Ys, Zs)
-    stride: int = flax.struct.field(pytree_node=False)
+    # Optional (R*Zp + 1, (2r+1)^2) xy-stack: column j holds ``packed``
+    # shifted by the j-th (dx, dy) in [-r, r]^2 (x-major), zero-padded at the
+    # extent borders, with an all-zero dummy last row.  ONE row gather then
+    # fetches the packed z-windows of EVERY (dx, dy) kernel group at once —
+    # kernel-map builds drop from K2 gathers per voxel to 1 (see
+    # grid_offsets_lookup).  Built only when the stack fits the memory gate
+    # (XY_STACK_MAX_BYTES); None otherwise (e.g. multi-scene training grids).
+    packed_xy: jnp.ndarray = None
+    dims: tuple = flax.struct.field(pytree_node=False, default=None)  # (B, Xs, Ys, Zs)
+    stride: int = flax.struct.field(pytree_node=False, default=1)
+    xy_radius: int = flax.struct.field(pytree_node=False, default=0)
 
     def lookup(self, coords4, qvalid):
         return grid_lookup(self, coords4, qvalid)
@@ -163,8 +173,49 @@ def _grid_dims(extent: tuple, s: int) -> tuple:
     return (extent[0], -(-extent[1] // s), -(-extent[2] // s), -(-extent[3] // s))
 
 
-def build_grid(level: SparseLevel, extent: tuple) -> DenseGrid:
-    """extent: (B, X, Y, Z) in stride-1 voxel units (static)."""
+# Memory gate for the xy-stacked packed table: a single-scene eval L0 grid
+# (256x256x160, 25 shifts) is ~1.1 GB — worth it (kernel-map builds become
+# one gather per voxel); a 4-scene training grid (512x512x256) would be
+# ~27 GB — falls back to per-group lookups.
+XY_STACK_MAX_BYTES = 1_400_000_000
+
+
+def _stack_xy(packed: jnp.ndarray, dims: tuple, radius: int) -> jnp.ndarray:
+    """Stack (dx, dy) in [-radius, radius]^2 shifts of the z-packed table.
+
+    Returns (B*X*Y*Zp + 1, (2r+1)^2) int32; out-of-extent shifts hold 0
+    (decodes to "no voxels"); the last row is an all-zero dummy for
+    out-of-range queries.
+    """
+    B, X, Y, _ = dims
+    zp = packed.shape[0] // (B * X * Y + 1)
+    p3 = packed[: B * X * Y * zp].reshape(B, X, Y, zp)
+    shifts = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            sh = p3
+            if dx > 0:
+                sh = jnp.pad(sh[:, dx:], ((0, 0), (0, dx), (0, 0), (0, 0)))
+            elif dx < 0:
+                sh = jnp.pad(sh[:, :dx], ((0, 0), (-dx, 0), (0, 0), (0, 0)))
+            if dy > 0:
+                sh = jnp.pad(sh[:, :, dy:], ((0, 0), (0, 0), (0, dy), (0, 0)))
+            elif dy < 0:
+                sh = jnp.pad(sh[:, :, :dy], ((0, 0), (0, 0), (-dy, 0), (0, 0)))
+            shifts.append(sh.reshape(-1))
+    st = jnp.stack(shifts, axis=1)
+    return jnp.concatenate([st, jnp.zeros((1, st.shape[1]), jnp.int32)], 0)
+
+
+def build_grid(level: SparseLevel, extent: tuple,
+               xy_radius: int = 0) -> DenseGrid:
+    """extent: (B, X, Y, Z) in stride-1 voxel units (static).
+
+    ``xy_radius > 0`` additionally builds the xy-stacked packed table
+    covering kernel (dx, dy) offsets up to that radius in table units
+    (2 serves the k=5 stem; 1 serves k=3 and k=2), subject to the
+    XY_STACK_MAX_BYTES gate.
+    """
     s = level.stride
     dims = _grid_dims(extent, s)
     c = level.coords
@@ -187,8 +238,16 @@ def build_grid(level: SparseLevel, extent: tuple) -> DenseGrid:
     ].set(jnp.where(ok, rows, -1), mode="drop").reshape(nrows + 1, zp)
     packed = _pack_z(table)
     overflow = jnp.sum((level.valid & ~ok).astype(jnp.int32))
+    packed_xy = None
+    if xy_radius > 0:
+        stack_bytes = (nrows * zp + 1) * (2 * xy_radius + 1) ** 2 * 4
+        if stack_bytes <= XY_STACK_MAX_BYTES:
+            packed_xy = _stack_xy(packed, dims, xy_radius)
+        else:
+            xy_radius = 0
     return DenseGrid(table=table, packed=packed, overflow=overflow,
-                     dims=dims, stride=s)
+                     packed_xy=packed_xy, dims=dims, stride=s,
+                     xy_radius=xy_radius)
 
 
 def _pack_z(table2d: jnp.ndarray) -> jnp.ndarray:
@@ -304,19 +363,34 @@ def grid_offsets_lookup(
     qy = coords4[:, 2] // s
     qz = coords4[:, 3] // s
     base_ok = valid & (b >= 0) & (b < dims[0]) & (qz >= 0) & (qz < dims[3])
-    ox = qx[:, None] + groups[None, :, 0, 0]  # (M, K2)
-    oy = qy[:, None] + groups[None, :, 0, 1]
-    ok = (
-        base_ok[:, None]
-        & (ox >= 0) & (ox < dims[1])
-        & (oy >= 0) & (oy < dims[2])
-    )
-    flat = ((b[:, None] * dims[1] + ox) * dims[2] + oy) * zp + qz[:, None] + Z_PAD
-    flat = jnp.where(ok, flat, (nrows + 1) * zp - 1)  # dummy slot -> all -1
-    # ONE 1-lane gather per (out voxel, dx, dy) group, then a pure-VPU
-    # rank+mask decode (see DenseGrid.packed).  1-lane gathers from big
-    # tables run ~2x faster than 5-lane stacked rows (measured).
-    win = jnp.take(grid.packed, flat.reshape(-1), axis=0)  # (M*K2,)
+    r = grid.xy_radius
+    if grid.packed_xy is not None and int(np.abs(groups[:, 0, :2]).max()) <= r:
+        # xy-stacked fast path: ONE row gather per out voxel fetches the
+        # packed z-windows of every (dx, dy) group (border shifts hold 0 =
+        # "no voxels"), then the same pure-VPU rank+mask decode.
+        side = 2 * r + 1
+        colidx = (groups[:, 0, 0] + r) * side + (groups[:, 0, 1] + r)
+        in_xy = (qx >= 0) & (qx < dims[1]) & (qy >= 0) & (qy < dims[2])
+        row = (b * dims[1] + qx) * dims[2] + qy
+        flat = jnp.where(
+            base_ok & in_xy, row * zp + qz + Z_PAD, nrows * zp
+        )
+        rows_g = jnp.take(grid.packed_xy, flat, axis=0)  # (M, side^2)
+        win = rows_g[:, colidx].reshape(-1)  # (M*K2,) groups-fastest
+    else:
+        ox = qx[:, None] + groups[None, :, 0, 0]  # (M, K2)
+        oy = qy[:, None] + groups[None, :, 0, 1]
+        ok = (
+            base_ok[:, None]
+            & (ox >= 0) & (ox < dims[1])
+            & (oy >= 0) & (oy < dims[2])
+        )
+        flat = ((b[:, None] * dims[1] + ox) * dims[2] + oy) * zp + qz[:, None] + Z_PAD
+        flat = jnp.where(ok, flat, (nrows + 1) * zp - 1)  # dummy slot -> all -1
+        # ONE 1-lane gather per (out voxel, dx, dy) group, then a pure-VPU
+        # rank+mask decode (see DenseGrid.packed).  1-lane gathers from big
+        # tables run ~2x faster than 5-lane stacked rows (measured).
+        win = jnp.take(grid.packed, flat.reshape(-1), axis=0)  # (M*K2,)
     entries = _unpack_z(win, cols)  # kz x (M*K2,)
     out = jnp.stack(entries, axis=1)  # (M*K2, kz)
     return out.reshape(m, groups.shape[0] * groups.shape[1])  # (M, K)
@@ -600,8 +674,14 @@ def build_unet_topology(
     for l in range(1, num_levels):
         levels.append(downsample(levels[-1], 2, caps[l]))
     if grids is None:
-        grids = [build_grid(lv, extent) if extent is not None else None
-                 for lv in levels]
+        # xy-stack radius: 2 covers the k=5 stem at level 0; 1 covers the
+        # k=3 / k=2 maps everywhere else
+        grids = [
+            build_grid(lv, extent,
+                       xy_radius=2 if (l == 0 and stem_k == 5) else 1)
+            if extent is not None else None
+            for l, lv in enumerate(levels)
+        ]
     elif callable(grids):
         grids = [grids(lv) for lv in levels]
     stem = conv_map(levels[0], levels[0], stem_k, grids[0])

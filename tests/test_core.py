@@ -229,15 +229,27 @@ class TestGrids:
         lv = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1)
         grid = tp.build_grid(lv, (4, 64, 64, 64))
         assert int(grid.overflow) == 0
+        # xy-stacked variant must produce identical maps (incl. borders)
+        grid_xy = tp.build_grid(lv, (4, 64, 64, 64), xy_radius=2)
+        assert grid_xy.packed_xy is not None
         for k in (2, 3, 5):
             np.testing.assert_array_equal(
                 np.asarray(tp.conv_map(lv, lv, k, grid)),
                 np.asarray(tp.conv_map(lv, lv, k)),
             )
+            np.testing.assert_array_equal(
+                np.asarray(tp.conv_map(lv, lv, k, grid_xy)),
+                np.asarray(tp.conv_map(lv, lv, k)),
+                err_msg=f"xy-stack k={k}",
+            )
         lv2 = tp.downsample(lv, 2, cap)
         grid2 = tp.build_grid(lv2, (4, 64, 64, 64))
         np.testing.assert_array_equal(
             np.asarray(tp.conv_map(lv2, lv, 2, grid)),
+            np.asarray(tp.conv_map(lv2, lv, 2)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tp.conv_map(lv2, lv, 2, grid_xy)),
             np.asarray(tp.conv_map(lv2, lv, 2)),
         )
         np.testing.assert_array_equal(
