@@ -111,12 +111,12 @@ def main():
         point_cap=147_456,
         voxel_caps=(98_304, 45_056, 16_384, 6_144, 2_048),
         cluster_cap=128,
-        local_point_cap=73_728,
-        local_voxel_caps=(49_152, 24_576, 10_240, 5_120, 2_048),
-        score_voxel_caps=(49_152, 24_576, 10_240, 5_120, 2_048),
+        local_point_cap=61_440,
+        local_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
+        score_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
         instance_cap=128,
         cluster_band=4_096,
-        fg_point_cap=65_536,
+        fg_point_cap=61_440,
         nn_exact_cap=1_024,
         # tight extent for a single ~4.5m scene: smaller dense-grid tables
         # gather ~2-3x faster than the 1GB worst-case table
