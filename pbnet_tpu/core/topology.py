@@ -675,10 +675,16 @@ def build_unet_topology(
         levels.append(downsample(levels[-1], 2, caps[l]))
     if grids is None:
         # xy-stack radius: 2 covers the k=5 stem at level 0; 1 covers the
-        # k=3 / k=2 maps everywhere else
+        # k=3 / k=2 maps everywhere else.  The stack's WIN scales with the
+        # voxel cap (gather-op count) while its build cost scales with grid
+        # slots, so small levels skip it — at toy caps (tests, the multichip
+        # dryrun) a multi-hundred-MB stack per device is pure overhead.
         grids = [
-            build_grid(lv, extent,
-                       xy_radius=2 if (l == 0 and stem_k == 5) else 1)
+            build_grid(
+                lv, extent,
+                xy_radius=(2 if (l == 0 and stem_k == 5) else 1)
+                if lv.cap >= 16384 else 0,
+            )
             if extent is not None else None
             for l, lv in enumerate(levels)
         ]
