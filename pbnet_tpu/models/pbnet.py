@@ -104,14 +104,17 @@ class PBNet(nn.Module):
         )
         ok = (v2p >= 0) & pvalid
 
-        def gather(x):
-            g = jnp.take(x, jnp.where(ok, v2p, 0), axis=0)
-            return jnp.where(ok[:, None], g, 0.0)
-
-        point_feat_p = gather(point_feat_v)
-        sem_score_p = gather(sem_score_v)
+        # ONE row gather for all per-point tables: gathers are op-count-bound
+        # (~4 ns/row regardless of width up to a 128-lane tile), so packing
+        # [feat32 | sem20 | offset3] = 55 f32 lanes fetches everything at a
+        # third of the op count of three separate gathers.
+        packed_v = jnp.concatenate([point_feat_v, sem_score_v, offset_v], 1)
+        g = jnp.take(packed_v, jnp.where(ok, v2p, 0), axis=0)
+        g = jnp.where(ok[:, None], g, 0.0)
+        point_feat_p = g[:, :32]
+        sem_score_p = g[:, 32:52]
         sem_soft_p = jax.nn.softmax(sem_score_p, axis=-1)
-        offset_p = gather(offset_v)
+        offset_p = g[:, 52:55]
         sem_pred_p = jnp.where(ok, jnp.argmax(sem_score_p, axis=-1), -1).astype(
             jnp.int32
         )

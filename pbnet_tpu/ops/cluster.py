@@ -163,7 +163,9 @@ def binary_cluster(
 
     nchunks = (n + chunk - 1) // chunk
     npad = nchunks * chunk
-    W = min(band, npad)
+    # round the band up to a 32-multiple: the neighbor mask is bit-packed
+    # into uint32 words (npad is a chunk multiple, so this never exceeds it)
+    W = min(((min(band, npad) + 31) // 32) * 32, npad)
 
     # chunk window anchors: start at the first row's lower bound; a chunk's
     # combined true window is [lb[first], ub[last])
@@ -258,14 +260,34 @@ def binary_cluster(
             & (rows_idx[:, :, None] != cidx[:, None, :])
         )
 
-    # ---- pass 1: density ----
+    # ---- pass 1: density + packed neighbor bitmask ----
+    # The (nchunks, chunk, W) neighbor mask is the expensive banded tensor
+    # (~14 VPU ops per position to rebuild).  Pack it into uint32 bit-words
+    # ONCE; density is its popcount, and every later pass (label-propagation
+    # rounds, border adoption) consumes 32 neighbors per word with shift+and
+    # (~4 ops per position) instead of recomputing distances.
+    NW = W // 32
+    bitpos = jnp.arange(32, dtype=jnp.uint32)
+
+    def pack_w(mask):
+        """(..., W) bool -> (..., W//32) uint32 bit-words (bit b of word w
+        = window position w*32 + b)."""
+        m = mask.reshape(mask.shape[:-1] + (NW, 32))
+        return jnp.sum(m.astype(jnp.uint32) << bitpos, axis=-1, dtype=jnp.uint32)
+
+    bits = tuple(pack_w(nbr_mask(s)) for s in sides)  # 2 x (nchunks, chunk, NW)
     density_s = (
-        jnp.sum(nbr_mask(sides[0]), axis=2)
-        + jnp.sum(nbr_mask(sides[1]), axis=2)
+        jnp.sum(jax.lax.population_count(bits[0]), axis=2)
+        + jnp.sum(jax.lax.population_count(bits[1]), axis=2)
     ).reshape(npad)[:n].astype(jnp.int32)
     hp_s = (density_s >= min_pts) & valid_s
     hp_p = pad_to(hp_s, False)
-    hp_ws = (win(hp_p), win2(hp_p))  # static across prop iterations
+    # HP-filtered bits: propagation and border passes only look at HP
+    # neighbors, so fold the filter into the stored words
+    bits_hp = tuple(
+        b & pack_w(w(hp_p))[:, None, :]
+        for b, w in zip(bits, (win, win2))
+    )
     hp_r = hp_p.reshape(nchunks, chunk)
 
     # ---- pass 2: min-label propagation over HP-HP edges ----
@@ -300,13 +322,24 @@ def binary_cluster(
         jnp.where(hp_s, premerged, INF_I32), INF_I32
     )
 
+    def bits_reduce(values_p, bhp_words, reducer, init):
+        """Reduce ``values_p`` over each row's set neighbor bits.
+
+        values_p: (npad,) per-point values; returns (nchunks, chunk) of
+        ``reducer`` over {values[j] : bit j set} starting from ``init``.
+        """
+        red = jnp.min if reducer is jnp.minimum else jnp.max
+        best = jnp.full((nchunks, chunk), init, values_p.dtype)
+        for bw, w in zip(bhp_words, (win, win2)):
+            vw = w(values_p).reshape(nchunks, NW, 32)
+            for b in range(32):
+                m = (bw >> jnp.uint32(b)) & jnp.uint32(1)  # (nc, chunk, NW)
+                cand = jnp.where(m > 0, vw[:, None, :, b], init)
+                best = reducer(best, red(cand, axis=2))
+        return best
+
     def prop_once(label_p):
-        lab_ws = (win(label_p), win2(label_p))
-        best = jnp.full((nchunks, chunk), INF_I32)
-        for s, hw, lw in zip(sides, hp_ws, lab_ws):
-            m = nbr_mask(s) & hw[:, None, :]
-            nbr_lab = jnp.where(m, lw[:, None, :], INF_I32)
-            best = jnp.minimum(best, jnp.min(nbr_lab, axis=2))
+        best = bits_reduce(label_p, bits_hp, jnp.minimum, INF_I32)
         cur = label_p.reshape(nchunks, chunk)
         new = jnp.where(hp_r, jnp.minimum(cur, best), cur)
         return new.reshape(npad)
@@ -351,24 +384,22 @@ def binary_cluster(
     first_p = pad_to(first_of_point, -1)
 
     # ---- border LPs: adopt the component with the LARGEST first-original
-    # index among HP neighbors (last-BFS-wins, binary.cu:206-213) ----
-    bf_sides, br_sides = [], []
-    for s, hw, fw, lw in zip(
-        sides, hp_ws, (win(first_p), win2(first_p)),
-        (win(label_p), win2(label_p)),
-    ):
-        m = nbr_mask(s) & hw[:, None, :]
-        nbr_first = jnp.where(m, fw[:, None, :], -1)
-        bf_sides.append(jnp.max(nbr_first, axis=2))  # -1 if no HP neighbor
-        amax = jnp.argmax(nbr_first, axis=2)  # (nchunks, chunk)
-        br_sides.append(jnp.take_along_axis(lw, amax, axis=1))
-    # union max over both windows; on equal first-orig the components are
-    # identical (first-orig uniquely identifies a component), either root ok
-    use2 = bf_sides[1] > bf_sides[0]
-    best_first = jnp.where(use2, bf_sides[1], bf_sides[0])
-    best_root = jnp.where(use2, br_sides[1], br_sides[0])
+    # index among HP neighbors (last-BFS-wins, binary.cu:206-213).
+    # Two packed-bit passes: max of first-orig over set bits, then any root
+    # whose first-orig equals that max (equal first-orig => identical
+    # component, so any matching root is THE root). ----
+    best_first = bits_reduce(first_p, bits_hp, jnp.maximum, jnp.int32(-1))
+    root_pick = jnp.full((nchunks, chunk), -1, jnp.int32)
+    for bw, w in zip(bits_hp, (win, win2)):
+        fw = w(first_p).reshape(nchunks, NW, 32)
+        lw = w(label_p).reshape(nchunks, NW, 32)
+        for b in range(32):
+            m = (bw >> jnp.uint32(b)) & jnp.uint32(1)
+            hit = (m > 0) & (fw[:, None, :, b] == best_first[:, :, None])
+            cand = jnp.where(hit, lw[:, None, :, b], -1)
+            root_pick = jnp.maximum(root_pick, jnp.max(cand, axis=2))
     border_first = best_first.reshape(npad)[:n]
-    border_root = best_root.reshape(npad)[:n]
+    border_root = root_pick.reshape(npad)[:n]
     is_border = (~hp_s) & valid_s & (border_first >= 0)
     root_all = jnp.where(hp_s, label_s, jnp.where(is_border, border_root, INF_I32))
 
