@@ -123,6 +123,10 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
         # fewer scenes than one global step consumes -> shrink the mesh
         ndev = max(1, len(dataset.train_file_list) // cfg.batch_size)
         m = mesh_lib.make_mesh(ndev)
+        logger.warning(
+            f"dataset has only {len(dataset.train_file_list)} scenes — "
+            f"shrinking the mesh to {ndev} device(s) so one step fits"
+        )
     ldev = mesh_lib.local_device_count(m)
     multi = ndev > 1
     model = build_model(cfg, multi)
@@ -194,6 +198,14 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
             )
             if max_iters and total_iters >= max_iters:
                 break
+        if not am:
+            # loader yielded fewer batches than local devices: no step ran
+            logger.warning(
+                f"epoch: {epoch}/{cfg.epochs}: loader yielded < {ldev} "
+                f"batches — no training step executed (dataset too small "
+                f"for the mesh × batch_size)"
+            )
+            continue
         logger.info(
             f"epoch: {epoch}/{cfg.epochs}, train loss: {am['loss'].avg:.4f}, "
             f"time: {time.time()-t_epoch:.1f}s"

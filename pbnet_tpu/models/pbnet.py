@@ -111,10 +111,12 @@ class PBNet(nn.Module):
         packed_v = jnp.concatenate([point_feat_v, sem_score_v, offset_v], 1)
         g = jnp.take(packed_v, jnp.where(ok, v2p, 0), axis=0)
         g = jnp.where(ok[:, None], g, 0.0)
-        point_feat_p = g[:, :32]
-        sem_score_p = g[:, 32:52]
+        f = point_feat_v.shape[1]
+        s = f + self.sem_num
+        point_feat_p = g[:, :f]
+        sem_score_p = g[:, f:s]
         sem_soft_p = jax.nn.softmax(sem_score_p, axis=-1)
-        offset_p = g[:, 52:55]
+        offset_p = g[:, s:s + 3]
         sem_pred_p = jnp.where(ok, jnp.argmax(sem_score_p, axis=-1), -1).astype(
             jnp.int32
         )

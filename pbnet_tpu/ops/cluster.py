@@ -161,10 +161,12 @@ def binary_cluster(
     lb = _merge_searchsorted(g_s, l1_s, g_s, l1_s - 2 * radius, "left")
     ub = _merge_searchsorted(g_s, l1_s, g_s, l1_s + 2 * radius, "right")
 
+    # the neighbor mask is bit-packed into uint32 words, so both the band
+    # width W and npad (its cap) must be 32-multiples — which holds only if
+    # chunk is one (npad = nchunks * chunk)
+    assert chunk % 32 == 0, f"chunk must be a multiple of 32, got {chunk}"
     nchunks = (n + chunk - 1) // chunk
     npad = nchunks * chunk
-    # round the band up to a 32-multiple: the neighbor mask is bit-packed
-    # into uint32 words (npad is a chunk multiple, so this never exceeds it)
     W = min(((min(band, npad) + 31) // 32) * 32, npad)
 
     # chunk window anchors: start at the first row's lower bound; a chunk's
