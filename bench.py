@@ -4,9 +4,16 @@
 Measures full-pipeline PBNet inference (quantize -> topology -> MinkUNet34C
 backbone + heads -> clustering -> local-scene D_Unet mask branch -> ScoreNet)
 in scenes/sec on one TPU chip, with static capacities sized for a typical
-ScanNet v2 val scene (~140k points, ~90k voxels at 2 cm).  Because every
-stage is static-shape, latency is content-independent: the number measures
-deployed per-scene inference cost for these capacities.
+ScanNet v2 val scene (~140k points, ~90k voxels at 2 cm).
+
+The timed loop does the DEPLOYMENT'S work: the instance stage is driven by
+oracle semantics/offsets derived from the scene's known objects (random
+weights predict chaotic semantics, which the class gate rejects — a trained
+checkpoint produces oracle-like structure), so the measured forward runs the
+clustering loop at its real round count and emits real clusters/proposals
+(asserted nonzero, overflow asserted zero).  All shapes are static, but the
+clustering fixpoint loop is content-dependent — which is exactly why the
+timed content must be realistic.
 
 Baseline: the reference publishes no throughput (SURVEY.md §6); we assume
 2.5 scenes/s for the full PBNet pipeline on an RTX 3090 (per-scene ~400 ms,
@@ -157,6 +164,26 @@ def main():
     jax.block_until_ready(variables)
     print(f"init (jitted): {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # Oracle semantics/offsets from the scene's known objects: random
+    # weights predict chaotic semantics (class gate -> 0 clusters), but a
+    # trained checkpoint produces exactly this structure — timing the
+    # instance stage on it runs the clustering fixpoint loop at its real
+    # round count and produces real clusters/proposals in the TIMED path.
+    def pad_f(a, cap, fill=0):
+        out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    sem_o = pad_f(sem_gt.astype(np.int32), P, -1)
+    center_of = np.zeros((P, 3), np.float32)
+    has_ins = ins_gt >= 0
+    center_of[:n][has_ins] = obj_centers[ins_gt[has_ins]]
+    offs_o = np.zeros((P, 3), np.float32)
+    offs_o[:n][has_ins] = center_of[:n][has_ins] - xyz[has_ins]
+    soft_o = np.full((P, 20), 0.05, np.float32)
+    soft_o[np.arange(P), np.clip(sem_o, 0, 19)] = 0.9
+    oracle = tuple(jnp.asarray(a) for a in (sem_o, offs_o, soft_o))
+
     # Timed runs: chain R dependent forwards inside ONE jit and fetch a
     # single digest.  A per-iteration host fetch costs ~35-40 ms of tunnel
     # round-trip on this backend (measurement artifact, not device time);
@@ -175,42 +202,67 @@ def main():
     iters = 10
 
     @jax.jit
-    def chained(variables, batch, r):
+    def chained(variables, batch, oracle, r):
+        sem_o, offs_o, soft_o = oracle
+
         def body(_, carry):
-            acc, _, _ = carry
+            acc = carry[0]
             b2 = dict(batch)
             b2["vox_feats"] = batch["vox_feats"] + acc * 1e-30
-            ret = model.apply(
-                variables, b2, with_instances=True, with_labels=False,
-                train=False,
-            )
+            bb = model.apply(variables, b2, False, method=PBNet.backbone)
+            bb = dict(bb)
+            # keep the real heads in the digest so nothing backbone-side is
+            # dead-code-eliminated, then drive the instance stage with the
+            # oracle (digest feedback keeps iterations dependent)
+            d_bb = (jnp.sum(bb["sem_pred_score_p"])
+                    + jnp.sum(bb["offset_pred_p"]))
+            bb["sem_pred_p"] = sem_o
+            bb["offset_pred_p"] = offs_o + acc * 1e-30
+            bb["sem_soft_p"] = soft_o
+            ret = model.apply(variables, b2, bb, False, False,
+                              method=PBNet.instance_stage)
             digest = (
-                jnp.sum(ret["sem_pred_score_p"])
+                d_bb
                 + jnp.sum(ret["clt_scores"])
                 + jnp.sum(ret["mask_scores"])
                 + ret["cluster"].num_clusters.astype(jnp.float32)
             )
+            ov = sum(v.astype(jnp.int32) for v in ret["overflow"].values())
             return (digest, ret["cluster"].num_clusters,
-                    ret["num_final_proposals"])
+                    ret["num_final_proposals"], ov, ret["usage"])
+
+        usage0 = {k: jnp.int32(0) for k in
+                  ("fg_points", "kept_points", "local_vox", "scene_points",
+                   "score_vox")}
         return jax.lax.fori_loop(
-            0, r, body, (jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
+            0, r, body,
+            (jnp.float32(0.0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             usage0),
         )
 
     t0 = time.time()
-    digest, n_clusters, n_proposals = chained(variables, batch, 2)
-    _ = float(digest)  # only a value fetch forces execution on this backend
+    out = chained(variables, batch, oracle, 2)
+    _ = float(out[0])  # only a value fetch forces execution on this backend
     print(f"compile+warm-up: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    digest, n_clusters, n_proposals = chained(variables, batch, iters)
+    digest, n_clusters, n_proposals, overflow, usage = chained(
+        variables, batch, oracle, iters
+    )
     _ = float(digest)
     dt = (time.time() - t0) / iters
     scenes_per_sec = 1.0 / dt
     print(
         f"latency: {dt*1e3:.1f} ms/scene; digest={float(digest):.3f}"
         f" clusters={int(n_clusters)}"
-        f" proposals={int(n_proposals)}",
+        f" proposals={int(n_proposals)}"
+        f" overflow={int(overflow)}"
+        f" usage={ {k: int(v) for k, v in usage.items()} }",
         file=sys.stderr,
     )
+    assert int(n_clusters) > 0 and int(n_proposals) > 0, \
+        "timed run must do real instance work"
+    assert int(overflow) == 0, \
+        "capacity overflow on bench content: caps too small"
 
     # Primary metric goes out FIRST: the phases below (oracle-driven digest +
     # train-step timing) each pay a multi-minute serial XLA compile on this
@@ -225,55 +277,55 @@ def main():
 
     try:
         _supplementary(model, variables, batch, shapes, pad,
-                       sem_gt, ins_gt, xyz, obj_centers, n, P)
+                       sem_o, ins_gt, center_of, oracle, n, P)
     except Exception as e:  # best-effort evidence; the metric already printed
         print(f"supplementary bench phases failed: {e!r}", file=sys.stderr)
 
 
 def _supplementary(model, variables, batch, shapes, pad,
-                   sem_gt, ins_gt, xyz, obj_centers, n, P):
-    """Oracle-driven instance-stage digest + train-step latency (stderr)."""
+                   sem_o, ins_gt, center_of, oracle, n, P):
+    """Production-extent forward latency + train-step latency (stderr)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    # ---- evidence that stages 2/3 do real work on real content: drive the
-    # SAME compiled instance stage with oracle semantics/offsets derived from
-    # the scene's known objects (random weights predict chaotic semantics, so
-    # the class gate otherwise yields 0 clusters; latency itself is content-
-    # independent by static shapes) ----
     from pbnet_tpu.models.pbnet import PBNet as _PBNet
 
-    sem_o = pad(sem_gt.astype(np.int32), P, -1)
-    center_of = np.zeros((P, 3), np.float32)
-    has_ins = ins_gt >= 0
-    center_of[:n][has_ins] = obj_centers[ins_gt[has_ins]]
-    offs_o = np.zeros((P, 3), np.float32)
-    offs_o[:n][has_ins] = center_of[:n][has_ins] - xyz[has_ins]
-    soft_o = np.full((P, 20), 0.05, np.float32)
-    soft_o[np.arange(P), np.clip(sem_o, 0, 19)] = 0.9
+    # ---- production grid-extent cost: the headline uses a scene-tight
+    # extent (smaller dense-grid tables gather faster); eval production
+    # serves arbitrary single scenes at (1, 512, 512, 256)
+    # (config.py grid_extent, batch_size_v=1).  Params are cap-independent,
+    # so the same variables serve both models. ----
+    prod_model = _PBNet(shapes=dataclasses.replace(
+        model.shapes, grid_extent=(1, 512, 512, 256)))
 
     @jax.jit
-    def rigged(variables, batch, sem_o, offs_o, soft_o):
-        bb = model.apply(variables, batch, False, method=_PBNet.backbone)
-        bb = dict(bb)
-        bb["sem_pred_p"] = sem_o
-        bb["offset_pred_p"] = offs_o
-        bb["sem_soft_p"] = soft_o
-        ret = model.apply(variables, batch, bb, False, False,
-                          method=_PBNet.instance_stage)
-        ov = sum(v.astype(jnp.int32) for v in ret["overflow"].values())
-        return (ret["cluster"].num_clusters, ret["num_final_proposals"],
-                jnp.sum(ret["mask_scores"]), ov, ret["usage"])
+    def prod_chained(variables, batch, oracle, r):
+        sem_oo, offs_oo, soft_oo = oracle
 
-    nc, npr, ms, ov, usage = rigged(variables, batch, jnp.asarray(sem_o),
-                                    jnp.asarray(offs_o), jnp.asarray(soft_o))
-    print(
-        f"oracle-driven instance stage: clusters={int(nc)} "
-        f"proposals={int(npr)} mask_sum={float(ms):.1f} "
-        f"overflow={int(ov)} usage={ {k: int(v) for k, v in usage.items()} }",
-        file=sys.stderr,
-    )
-    assert int(ov) == 0, "capacity overflow on bench content: caps too small"
+        def body(_, carry):
+            acc = carry
+            b2 = dict(batch)
+            b2["vox_feats"] = batch["vox_feats"] + acc * 1e-30
+            bb = prod_model.apply(variables, b2, False,
+                                  method=_PBNet.backbone)
+            bb = dict(bb)
+            bb["sem_pred_p"] = sem_oo
+            bb["offset_pred_p"] = offs_oo + acc * 1e-30
+            bb["sem_soft_p"] = soft_oo
+            ret = prod_model.apply(variables, b2, bb, False, False,
+                                   method=_PBNet.instance_stage)
+            return jnp.sum(ret["clt_scores"]) + jnp.sum(ret["mask_scores"])
+
+        return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
+
+    _ = float(prod_chained(variables, batch, oracle, 2))  # compile+warm
+    t0 = time.time()
+    _ = float(prod_chained(variables, batch, oracle, 5))
+    prod_dt = (time.time() - t0) / 5
+    print(f"production-extent (1,512,512,256) latency: "
+          f"{prod_dt*1e3:.1f} ms/scene", file=sys.stderr)
 
     # ---- secondary metric: full train-step latency (fwd+bwd+Adam) ----
     import optax
@@ -284,7 +336,7 @@ def _supplementary(model, variables, batch, shapes, pad,
     info = np.full((P, 9), -100.0, np.float32)
     info[:n, 0:3] = center_of[:n]
     pointnum = np.zeros(128, np.int32)
-    for i in range(obj_centers.shape[0]):
+    for i in range(int(ins_gt.max()) + 1):
         pointnum[i] = int((ins_gt == i).sum())
     tbatch = dict(batch)
     tbatch.update(
