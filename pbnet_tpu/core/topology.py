@@ -418,8 +418,12 @@ class PidGrid:
     packed: jnp.ndarray  # (pid_cap * main_cap + 1,) int32
     pid_batch: jnp.ndarray  # (pid_cap,) int32 scene-batch of each proposal
     overflow: jnp.ndarray  # () int32 local voxels absent from the main level
-    pid_cap: int = flax.struct.field(pytree_node=False)
-    main_cap: int = flax.struct.field(pytree_node=False)
+    # (local_cap,) int32 main-level rank of each local row (-1 absent/invalid)
+    # — lets kernel maps be DERIVED from the main topology's maps (one row
+    # gather of the main map replaces the whole spatial lookup)
+    g_of_row: jnp.ndarray = None
+    pid_cap: int = flax.struct.field(pytree_node=False, default=0)
+    main_cap: int = flax.struct.field(pytree_node=False, default=0)
 
     def lookup(self, coords4, qvalid):
         pid = coords4[:, 0]
@@ -433,24 +437,37 @@ class PidGrid:
         found2 = found & (row >= 0)
         return jnp.where(found2, row, 0).astype(jnp.int32), found2
 
-    def offsets_lookup(self, coords4, valid, offs):
-        """Composite per-offset lookup: spatial grid -> pid table.
+    def offsets_spatial(self, coords4, valid, offs):
+        """Spatial half of offsets_lookup only (latency attribution)."""
+        pid = coords4[:, 0]
+        ok = valid & (pid >= 0) & (pid < self.pid_cap)
+        b = jnp.take(self.pid_batch, jnp.clip(pid, 0, self.pid_cap - 1))
+        sc = jnp.concatenate([b[:, None], coords4[:, 1:]], axis=1)
+        return grid_offsets_lookup(self.spatial, sc, ok, offs)
 
-        The pid-table side also pays one gather per (out, dx, dy) group:
-        spatial ranks of consecutive-z occupied voxels are CONSECUTIVE (rank
-        order = key order and nothing sorts between them), so the group's
-        pid-table entries live at anchor-2..anchor+2 of the flat table —
-        gathered as one row of a shift-stacked view and aligned per slot by
-        the rank delta (a 5-way select, pure VPU).
-        """
+    def offsets_lookup(self, coords4, valid, offs):
+        """Composite per-offset lookup: spatial grid -> pid table."""
         pid = coords4[:, 0]
         ok = valid & (pid >= 0) & (pid < self.pid_cap)
         b = jnp.take(self.pid_batch, jnp.clip(pid, 0, self.pid_cap - 1))
         sc = jnp.concatenate([b[:, None], coords4[:, 1:]], axis=1)
         g = grid_offsets_lookup(self.spatial, sc, ok, offs)  # (M, K) ranks
-        m = g.shape[0]
         groups, _ = _group_offsets(offs, self.spatial.stride)
-        k2, kz = groups.shape[0], groups.shape[1]
+        return self.translate(pid, g, groups.shape[1])
+
+    def translate(self, pid, g, kz):
+        """Main-rank entries -> local rows via the pid table.
+
+        ``g``: (M, K) main-level ranks (-1 missing), dz-fastest offset layout
+        with z-runs of length ``kz``.  Pays one gather per (out, dx, dy)
+        group: spatial ranks of consecutive-z occupied voxels are CONSECUTIVE
+        (rank order = key order and nothing sorts between them), so the
+        group's pid-table entries live at anchor-2..anchor+2 of the flat
+        table — gathered as one row of a shift-stacked view and aligned per
+        slot by the rank delta (a 5-way select, pure VPU).
+        """
+        m, K = g.shape
+        k2 = K // kz
         # strictly 2-D from here (rows = (m*k2) blocks): 3-D intermediates
         # force transposed gather layouts + data-formatting copies (see
         # grid_offsets_lookup)
@@ -464,20 +481,28 @@ class PidGrid:
         pid_r = jnp.repeat(pid, k2, total_repeat_length=m * k2)
         base = jnp.where(any_p, pid_r * self.main_cap + anchor, size)
         # ONE 1-lane gather of the rank+mask packed table per group, then a
-        # pure-VPU decode at each slot's dynamic window position.
+        # pure-VPU decode.  The decode avoids DYNAMIC bit shifts (variable
+        # shifts per element lower poorly): the 5 possible bit positions are
+        # decoded ONCE with static shifts (hit bit + popcount-below, shared
+        # by every slot), and each slot 5-way selects its position's answer.
         win = jnp.take(self.packed, jnp.minimum(base, size), axis=0)
         mask = win & 31
         rank0 = (win >> 5) - 1
+        nb = 2 * Z_PAD + 1
+        val_b = []
+        pc = jnp.zeros_like(mask)
+        for b2 in range(nb):  # static shifts only
+            bit = (mask >> b2) & 1
+            val_b.append(jnp.where(bit > 0, rank0 + pc, -1))  # (m*k2,)
+            pc = pc + bit
         delta = jnp.clip(g2 - anchor[:, None], -Z_PAD, Z_PAD)  # (m*k2, kz)
         cols_out = []
         for ti in range(kz):
-            c = delta[:, ti] + Z_PAD  # dynamic bit index in [0, 5)
-            hit = present[:, ti] & (((mask >> c) & 1) > 0)
-            below = mask & ((jnp.int32(1) << c) - 1)
-            pc = jnp.zeros_like(mask)
-            for b2 in range(2 * Z_PAD + 1):
-                pc = pc + ((below >> b2) & 1)
-            cols_out.append(jnp.where(hit, rank0 + pc, -1)[:, None])
+            c = delta[:, ti] + Z_PAD  # window position in [0, 5)
+            r = jnp.full_like(mask, -1)
+            for b2 in range(nb):
+                r = jnp.where(c == b2, val_b[b2], r)
+            cols_out.append(jnp.where(present[:, ti], r, -1)[:, None])
         row = jnp.concatenate(cols_out, axis=1)  # (m*k2, kz)
         return row.reshape(m, k2 * kz)
 
@@ -528,7 +553,99 @@ def build_pid_grid(level: SparseLevel, main_level: SparseLevel,
     overflow = jnp.sum((level.valid & ~okf).astype(jnp.int32))
     return PidGrid(spatial=spatial, table=table, packed=packed,
                    pid_batch=pid_batch, overflow=overflow,
+                   g_of_row=jnp.where(okf, g, -1).astype(jnp.int32),
                    pid_cap=pid_cap, main_cap=main_cap)
+
+
+def _take_km_rows(main_km: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather of a main kernel map at main ranks ``g`` (-1 -> all -1)."""
+    rows = jnp.take(
+        main_km, jnp.clip(g, 0, main_km.shape[0] - 1), axis=0
+    )
+    return jnp.where((g >= 0)[:, None], rows, -1)
+
+
+def build_pid_unet_topology(
+    level0: SparseLevel,
+    caps: Sequence[int],
+    main_topo: "UNetTopology",
+    pid_batch: jnp.ndarray,
+    pid_cap: int,
+    num_levels: int = 5,
+    stem_k: int = 5,
+    parts: str = "all",
+) -> UNetTopology:
+    """Per-proposal topology whose kernel maps are DERIVED from the main
+    scene's maps instead of looked up spatially.
+
+    Local voxels are (pid, main voxel) pairs on the SAME lattice, so the
+    input voxel of local output ``i`` at offset ``k`` is the pid-translation
+    of ``main_km[g_i, k]`` (``g_i`` = main rank of local row ``i``, computed
+    once per level while building the pid tables).  One (<=128-lane) row
+    gather of the main map per local voxel replaces the whole spatial
+    z-window lookup; only the pid-table translate remains.  Exactness: the
+    main map answers exactly the query coordinates the spatial lookup would
+    probe, and local pyramid levels are subsets of main pyramid levels
+    (floor-division of a subset is a subset).
+    """
+    levels = [level0]
+    for l in range(1, num_levels):
+        levels.append(downsample(levels[-1], 2, caps[l]))
+    grids = [
+        build_pid_grid(lv, main_topo.levels[l], main_topo.grids[l],
+                       pid_batch, pid_cap)
+        for l, lv in enumerate(levels)
+    ]
+    level_overflow = sum(jnp.maximum(lv.count - lv.cap, 0) for lv in levels)
+    grid_overflow = sum(g.overflow for g in grids)
+    empty = jnp.zeros((0, 1), jnp.int32)
+
+    def partial(stem_map=empty, k3=(), down=(), up=()):
+        return UNetTopology(
+            levels=tuple(levels), stem_map=stem_map, k3_maps=tuple(k3),
+            down_maps=tuple(down), up_maps=tuple(up), grids=tuple(grids),
+            level_overflow=jnp.int32(level_overflow),
+            grid_overflow=jnp.int32(grid_overflow),
+        )
+
+    pids = [lv.coords[:, 0] for lv in levels]
+    if parts == "pyramid":
+        return partial()
+    stem = grids[0].translate(
+        pids[0], _take_km_rows(main_topo.stem_map, grids[0].g_of_row),
+        kz=stem_k,
+    )
+    if parts == "stem":
+        return partial(stem)
+    if stem_k == 5:
+        offs5 = [tuple(o) for o in kernel_offsets(5)]
+        sel = np.array([offs5.index(tuple(o)) for o in kernel_offsets(3)])
+        k3_0 = stem[:, sel]
+    else:
+        k3_0 = grids[0].translate(
+            pids[0], _take_km_rows(main_topo.k3_maps[0], grids[0].g_of_row), 3
+        )
+    k3 = (k3_0,) + tuple(
+        grids[l].translate(
+            pids[l], _take_km_rows(main_topo.k3_maps[l], grids[l].g_of_row), 3
+        )
+        for l in range(1, num_levels)
+    )
+    if parts == "k3":
+        return partial(stem, k3)
+    down = tuple(
+        grids[l].translate(
+            pids[l + 1],
+            _take_km_rows(main_topo.down_maps[l], grids[l + 1].g_of_row), 2
+        )
+        for l in range(num_levels - 1)
+    )
+    if parts == "down":
+        return partial(stem, k3, down)
+    up = tuple(
+        invert_map(down[l], levels[l].cap) for l in range(num_levels - 1)
+    )
+    return partial(stem, k3, down, up)
 
 
 def conv_map(
@@ -657,6 +774,7 @@ def build_unet_topology(
     stem_k: int = 5,
     extent: "tuple | None" = None,
     grids=None,
+    parts: str = "all",
 ) -> UNetTopology:
     """Build the full coordinate pyramid + kernel maps for a MinkUNet.
 
@@ -669,6 +787,10 @@ def build_unet_topology(
     built once and all kernel maps use z-window gathers (see module
     docstring).  ``grids`` may instead supply prebuilt grids (list) or a
     callable ``level -> grid``.  Without either, binary search (slow).
+
+    ``parts`` truncates the build for latency attribution (profiling only):
+    "pyramid" stops after levels+grids, then cumulatively "stem", "k3",
+    "down"; "all" (production) also builds the transpose (up) maps.
     """
     levels = [level0]
     for l in range(1, num_levels):
@@ -690,7 +812,38 @@ def build_unet_topology(
         ]
     elif callable(grids):
         grids = [grids(lv) for lv in levels]
+    level_overflow = sum(
+        jnp.maximum(lv.count - lv.cap, 0) for lv in levels
+    )
+    grid_overflow = sum(
+        (g.overflow if g is not None else jnp.int32(0)) for g in grids
+    )
+    empty = jnp.zeros((0, 1), jnp.int32)
+
+    def partial(stem_map=empty, k3=(), down=(), up=()):
+        return UNetTopology(
+            levels=tuple(levels), stem_map=stem_map, k3_maps=tuple(k3),
+            down_maps=tuple(down), up_maps=tuple(up), grids=tuple(grids),
+            level_overflow=jnp.int32(level_overflow),
+            grid_overflow=jnp.int32(grid_overflow),
+        )
+
+    if parts == "pyramid":
+        return partial()
+    if parts == "stemsp":
+        # spatial half of the stem lookup only (PidGrid latency attribution)
+        g0 = grids[0]
+        offs = kernel_offsets(stem_k) * levels[0].stride
+        if isinstance(g0, PidGrid):
+            return partial(g0.offsets_spatial(
+                levels[0].coords, levels[0].valid, offs
+            ))
+        return partial(grid_offsets_lookup(
+            g0, levels[0].coords, levels[0].valid, offs
+        ))
     stem = conv_map(levels[0], levels[0], stem_k, grids[0])
+    if parts == "stem":
+        return partial(stem)
     if stem_k == 5:
         # the 27 k=3 offsets are a subset of the 125 k=5 stem offsets at the
         # same (out=in) level: slice columns instead of re-looking-up
@@ -703,22 +856,15 @@ def build_unet_topology(
         conv_map(lv, lv, 3, g)
         for lv, g in zip(levels[1:], grids[1:])
     )
+    if parts == "k3":
+        return partial(stem, k3)
     down = tuple(
         conv_map(levels[l + 1], levels[l], 2, grids[l])
         for l in range(num_levels - 1)
     )
+    if parts == "down":
+        return partial(stem, k3, down)
     up = tuple(
         invert_map(down[l], levels[l].cap) for l in range(num_levels - 1)
     )
-    level_overflow = sum(
-        jnp.maximum(lv.count - lv.cap, 0) for lv in levels
-    )
-    grid_overflow = sum(
-        (g.overflow if g is not None else jnp.int32(0)) for g in grids
-    )
-    return UNetTopology(
-        levels=tuple(levels), stem_map=stem, k3_maps=k3,
-        down_maps=down, up_maps=up, grids=tuple(grids),
-        level_overflow=jnp.int32(level_overflow),
-        grid_overflow=jnp.int32(grid_overflow),
-    )
+    return partial(stem, k3, down, up)

@@ -335,26 +335,32 @@ class PBNet(nn.Module):
         pid_batch = jnp.zeros((C + 1,), jnp.int32).at[
             jnp.where(scene_c, pid_of_cluster, C)
         ].set(jnp.clip(cbatch, 0, 63))[:C]
-        main_levels = bb["topo"].levels
-        main_grids = bb["topo"].grids
 
-        def local_grids(lv):
-            if not use_composite:
-                return None
-            l = int(np.log2(lv.stride))
-            # reuse the backbone's spatial grid at this stride
-            return tp.build_pid_grid(
-                lv, main_levels[l], main_grids[l], pid_batch, C
+        def build_topo2(parts="all"):
+            if use_composite:
+                # kernel maps DERIVED from the backbone's maps (local voxels
+                # live on the main lattice): one main-map row gather per
+                # voxel replaces the spatial z-window lookups
+                return tp.build_pid_unet_topology(
+                    lv2, list(sh.local_voxel_caps), bb["topo"], pid_batch, C,
+                    parts=parts,
+                )
+            return tp.build_unet_topology(
+                lv2, list(sh.local_voxel_caps), grids=lambda lv: None,
+                parts=parts,
             )
 
-        topo2 = tp.build_unet_topology(
-            lv2, list(sh.local_voxel_caps), grids=local_grids
-        )
-        if stop_after == "topo2":
-            return {"cluster": res, "topo2_maps": (topo2.stem_map,
-                                                   topo2.k3_maps,
-                                                   topo2.down_maps),
+        if stop_after is not None and stop_after.startswith("topo2"):
+            # "topo2" (full ex-up) or "topo2:pyramid|stem|k3|down|all" —
+            # truncated builds for latency attribution (profiling only)
+            parts = stop_after.partition(":")[2] or "down"
+            topo2 = build_topo2(parts)
+            keep = [topo2.stem_map, topo2.k3_maps, topo2.down_maps,
+                    topo2.up_maps, tuple(lv.hi for lv in topo2.levels),
+                    tuple(g.packed for g in topo2.grids if g is not None)]
+            return {"cluster": res, "topo2_maps": tuple(keep),
                     "feats2": feats2}
+        topo2 = build_topo2()
         d_feat = self.D_Unet(topo2, feats2, train)
         mask_v = self.linear_binary(d_feat, topo2.levels[0].valid, train)[:, 0]
         p2v2 = q2["point2voxel"]

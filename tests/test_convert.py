@@ -1,6 +1,8 @@
 """Checkpoint converter tests: synthesize a reference-style torch state dict
 from initialized pbnet_tpu variables, convert, and assert full coverage."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -207,10 +209,51 @@ class TestReferencePthGolden:
         golden_probe = GOLDEN_STAGE1_PROBE
         if golden_digest is None:
             pytest.skip("golden values not recorded yet")
-        np.testing.assert_allclose(digest, golden_digest, rtol=2e-2,
+        # bf16 conv compute: measured drift vs the f32 reference is ~4e-4
+        # relative on the digest and <=1e-5 absolute on the probe, so these
+        # bounds (~10x that) still catch any real layout/semantics bug
+        np.testing.assert_allclose(digest, golden_digest, rtol=5e-3,
                                    err_msg="stage-1 output drift")
-        np.testing.assert_allclose(probe, golden_probe, rtol=5e-2, atol=2e-4,
+        np.testing.assert_allclose(probe, golden_probe, rtol=2e-2, atol=1e-5,
                                    err_msg="stage-1 output drift (probe)")
+
+    def test_stage1_forward_golden_f32(self, monkeypatch):
+        """Strict-parity golden: COMPUTE_DTYPE flipped to f32 (the documented
+        parity mode, nn/sparse_ops.py:23).  Exact on a fixed backend (rerun
+        diff measured 0.0); tolerances only allow XLA reduction-order changes
+        across compiler versions.  A 0.1% logit drift FAILS here — layout
+        bugs cannot hide inside bf16 slack (round-2 VERDICT item 7)."""
+        import tempfile
+
+        import jax.numpy as jnp
+
+        from pbnet_tpu.nn import sparse_ops
+
+        monkeypatch.setattr(sparse_ops, "COMPUTE_DTYPE", jnp.float32)
+        model, batch, variables = self._setup()
+        f = os.path.join(tempfile.mkdtemp(), "000000001.pth")
+        self._write_pth(variables, f)
+        params, stats = cc.load_reference_checkpoint(f, me_order="x_fastest")
+        merged, _ = cc.merge_into_variables(variables, params, stats)
+        ret = jax.jit(
+            lambda v, b: model.apply(
+                v, b, with_instances=False, with_labels=False, train=False
+            )
+        )(merged, batch)
+        ok = np.asarray(ret["point_ok"])
+        logits = np.asarray(ret["sem_pred_score_p"])[ok]
+        probe = logits[:: max(1, logits.shape[0] // 8)][:8, :3]
+        digest = np.array(
+            [float(logits.sum()), float(np.abs(logits).sum()),
+             float(logits.max()), float(logits.min())]
+        )
+        print("\nGOLDEN f32 digest:", repr(digest))
+        print("GOLDEN f32 probe:", repr(probe))
+        np.testing.assert_allclose(digest, GOLDEN_STAGE1_DIGEST_F32, rtol=1e-4,
+                                   err_msg="f32 stage-1 output drift")
+        np.testing.assert_allclose(probe, GOLDEN_STAGE1_PROBE_F32, rtol=1e-3,
+                                   atol=1e-7,
+                                   err_msg="f32 stage-1 output drift (probe)")
 
 
 # Regenerated after fixing the missing-neighbor gather: jnp.take(mode="fill")
@@ -230,4 +273,19 @@ GOLDEN_STAGE1_PROBE = np.array(
      [6.1068742e-05, -1.9932736e-04, 3.3810604e-05],
      [-7.6885335e-05, -1.7850689e-05, -6.7034288e-04],
      [-5.2560953e-04, -1.2909250e-04, -5.4357201e-04]], dtype=np.float32,
+)
+
+# f32 strict-parity goldens (COMPUTE_DTYPE=float32): exact on a fixed backend
+GOLDEN_STAGE1_DIGEST_F32 = np.array(
+    [3.7924058437e00, 1.4011465073e01, 9.4367293641e-03, -1.0489710607e-02]
+)
+GOLDEN_STAGE1_PROBE_F32 = np.array(
+    [[2.7213609e-04, 2.8468855e-04, -5.3389158e-06],
+     [5.0851778e-04, -2.1129041e-03, -3.0816046e-03],
+     [2.8111055e-04, 3.5964744e-04, -5.8661419e-04],
+     [1.3246582e-03, -3.9256131e-04, -1.2034022e-03],
+     [-2.7441460e-04, 6.7300309e-05, -1.2847495e-04],
+     [6.2381121e-05, -1.9959640e-04, 3.4696379e-05],
+     [-7.7035220e-05, -1.6954698e-05, -6.7002076e-04],
+     [-5.2218116e-04, -1.3067848e-04, -5.3989945e-04]], dtype=np.float32,
 )

@@ -297,3 +297,59 @@ class TestGrids:
                 np.asarray(tp.conv_map(llv, llv, k, pgrid)),
                 np.asarray(tp.conv_map(llv, llv, k)),
             )
+
+    def test_derived_pid_topology_matches_lookup(self, rng):
+        """build_pid_unet_topology (kernel maps derived from the main
+        topology's maps) must equal the spatially-looked-up maps exactly,
+        for every map of every level — the local-scene/ScoreNet fast path."""
+        extent = (1, 64, 64, 32)
+        c = np.unique(np.stack([
+            np.zeros(2000, np.int64),
+            rng.randint(0, 64, 2000),
+            rng.randint(0, 64, 2000),
+            rng.randint(0, 32, 2000),
+        ], 1), axis=0)[:900].astype(np.int32)
+        vcap = 1024
+        cpad = np.zeros((vcap, 4), np.int32)
+        cpad[: c.shape[0]] = c
+        valid = np.arange(vcap) < c.shape[0]
+        lv0 = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), vcap, 1)
+        caps = [1024, 1024, 1024, 512, 256]  # generous: no level overflow
+        main = tp.build_unet_topology(lv0, caps, extent=extent)
+        assert all(int(l.count) <= l.cap for l in main.levels)
+
+        P = 4
+        pid_batch = jnp.zeros((P,), jnp.int32)
+        occ = np.asarray(lv0.coords)[np.asarray(lv0.valid)]
+        rows = []
+        for p in range(P):
+            sub = occ[rng.choice(occ.shape[0], 150, replace=False)].copy()
+            sub[:, 0] = p
+            rows.append(sub)
+        rows = np.concatenate(rows)
+        lcap = 1024
+        lc = np.zeros((lcap, 4), np.int32)
+        lc[: rows.shape[0]] = rows
+        lvalid = np.arange(lcap) < rows.shape[0]
+        llv = tp.level_from_coords(jnp.asarray(lc), jnp.asarray(lvalid), lcap, 1)
+
+        def old_grids(lv):
+            l = int(np.log2(lv.stride))
+            return tp.build_pid_grid(
+                lv, main.levels[l], main.grids[l], pid_batch, P
+            )
+
+        t_old = tp.build_unet_topology(llv, caps, grids=old_grids)
+        t_new = tp.build_pid_unet_topology(llv, caps, main, pid_batch, P)
+        np.testing.assert_array_equal(
+            np.asarray(t_old.stem_map), np.asarray(t_new.stem_map), "stem"
+        )
+        for name, olds, news in (
+            ("k3", t_old.k3_maps, t_new.k3_maps),
+            ("down", t_old.down_maps, t_new.down_maps),
+            ("up", t_old.up_maps, t_new.up_maps),
+        ):
+            for i, (a, b) in enumerate(zip(olds, news)):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=f"{name}[{i}]"
+                )

@@ -1,0 +1,37 @@
+"""End-to-end learnability: overfit two fabricated scenes to high instance AP.
+
+The reference's de-facto correctness check is validation during training
+(/root/reference/train.py:123-304).  With no real ScanNet data in CI, this
+test overfits the full pipeline (cluster_epoch=-1) on two synthetic scenes
+and asserts (a) instance AP@25 reaches >= 0.9 through the real eval protocol
+and (b) the mask/score losses decreased — i.e. offsets -> clusters -> masks
+-> scores -> AP all learn, not just run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "overfit_worker.py")
+
+
+@pytest.mark.slow
+def test_overfit_two_scenes_to_ap(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, WORKER, str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=2400,
+    )
+    assert proc.returncode == 0, f"worker failed:\n{proc.stdout[-6000:]}"
+    with open(tmp_path / "result.json") as f:
+        r = json.load(f)
+    assert r["sem_loss_after_bb"] < 0.2, r  # semantics overfit
+    assert r["mask_loss_last"] < r["mask_loss_first"], r
+    assert r["score_loss_last"] < r["score_loss_first"], r
+    assert r.get("AP25", 0.0) >= 0.9, r
+    assert r.get("mAP", 0.0) > 0.0, r
