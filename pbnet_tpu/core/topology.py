@@ -468,43 +468,39 @@ class PidGrid:
         """
         m, K = g.shape
         k2 = K // kz
-        # strictly 2-D from here (rows = (m*k2) blocks): 3-D intermediates
-        # force transposed gather layouts + data-formatting copies (see
-        # grid_offsets_lookup)
-        g2 = g.reshape(m * k2, kz)
-        present = g2 >= 0
-        any_p = jnp.any(present, axis=1)  # (m*k2,)
-        gmin = jnp.min(jnp.where(present, g2, np.int32(2**31 - 1)), axis=1)
-        gmax = jnp.max(jnp.where(present, g2, -1), axis=1)
+        # TRANSPOSED layout (kz, m*k2): with the big dim minor, every
+        # elementwise/reduce op below runs at full 128-lane occupancy.  The
+        # (m*k2, kz) layout keeps a kz(=5)-lane minor dim — ~4% of each VPU
+        # tile used.  Two relayout copies (in/out) cost ~0.1 ms; the decode
+        # itself is tens of ops over millions of elements.
+        gt = g.reshape(m * k2, kz).T  # (kz, m*k2)
+        present = gt >= 0
+        any_p = jnp.any(present, axis=0)  # (m*k2,)
+        gmin = jnp.min(jnp.where(present, gt, np.int32(2**31 - 1)), axis=0)
+        gmax = jnp.max(jnp.where(present, gt, -1), axis=0)
         anchor = (gmin + gmax) // 2  # always a present rank (consecutive run)
         size = self.pid_cap * self.main_cap
         pid_r = jnp.repeat(pid, k2, total_repeat_length=m * k2)
         base = jnp.where(any_p, pid_r * self.main_cap + anchor, size)
         # ONE 1-lane gather of the rank+mask packed table per group, then a
-        # pure-VPU decode.  The decode avoids DYNAMIC bit shifts (variable
-        # shifts per element lower poorly): the 5 possible bit positions are
-        # decoded ONCE with static shifts (hit bit + popcount-below, shared
-        # by every slot), and each slot 5-way selects its position's answer.
+        # pure-VPU decode at each slot's dynamic window position.  (Measured:
+        # a static-shift 5-way-select variant of this decode was 35 ms SLOWER
+        # end to end — dynamic VPU shifts are not the problem.)
         win = jnp.take(self.packed, jnp.minimum(base, size), axis=0)
         mask = win & 31
         rank0 = (win >> 5) - 1
-        nb = 2 * Z_PAD + 1
-        val_b = []
-        pc = jnp.zeros_like(mask)
-        for b2 in range(nb):  # static shifts only
-            bit = (mask >> b2) & 1
-            val_b.append(jnp.where(bit > 0, rank0 + pc, -1))  # (m*k2,)
-            pc = pc + bit
-        delta = jnp.clip(g2 - anchor[:, None], -Z_PAD, Z_PAD)  # (m*k2, kz)
-        cols_out = []
+        delta = jnp.clip(gt - anchor[None, :], -Z_PAD, Z_PAD)  # (kz, m*k2)
+        rows_out = []
         for ti in range(kz):
-            c = delta[:, ti] + Z_PAD  # window position in [0, 5)
-            r = jnp.full_like(mask, -1)
-            for b2 in range(nb):
-                r = jnp.where(c == b2, val_b[b2], r)
-            cols_out.append(jnp.where(present[:, ti], r, -1)[:, None])
-        row = jnp.concatenate(cols_out, axis=1)  # (m*k2, kz)
-        return row.reshape(m, k2 * kz)
+            c = delta[ti] + Z_PAD  # dynamic bit index in [0, 5); 1-D slice
+            hit = present[ti] & (((mask >> c) & 1) > 0)
+            below = mask & ((jnp.int32(1) << c) - 1)
+            pc = jnp.zeros_like(mask)
+            for b2 in range(2 * Z_PAD + 1):
+                pc = pc + ((below >> b2) & 1)
+            rows_out.append(jnp.where(hit, rank0 + pc, -1))
+        row = jnp.stack(rows_out, axis=0)  # (kz, m*k2)
+        return row.T.reshape(m, k2 * kz)
 
 
 def build_pid_grid(level: SparseLevel, main_level: SparseLevel,
