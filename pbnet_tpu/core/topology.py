@@ -639,7 +639,8 @@ def build_pid_unet_topology(
     if parts == "down":
         return partial(stem, k3, down)
     up = tuple(
-        invert_map(down[l], levels[l].cap) for l in range(num_levels - 1)
+        up_map_direct(levels[l], grids[l + 1])
+        for l in range(num_levels - 1)
     )
     return partial(stem, k3, down, up)
 
@@ -686,11 +687,36 @@ def conv_transpose_map(
     return _lookup_offsets(out_level, in_level, offs)
 
 
+def up_map_direct(fine_level: SparseLevel, coarse_grid) -> jnp.ndarray:
+    """Transpose-conv (k=2 s=2) kernel map WITHOUT scatters.
+
+    Each fine voxel ``j`` is read by EXACTLY ONE (coarse output, offset)
+    pair: the coarse parent ``floor(c_j / 2ts) * 2ts`` at offset
+    ``d = (c_j - parent) / ts`` (dz-fastest index ``4dx + 2dy + dz``).  One
+    grid lookup of the parent rank + an elementwise 8-way select replaces
+    ``invert_map``'s 8 column scatters — identical output (equality-tested
+    against invert_map in tests/test_core.py).
+    """
+    ts = fine_level.stride
+    c = fine_level.coords
+    parent_sp = (c[:, 1:] // (2 * ts)) * (2 * ts)
+    parent = jnp.concatenate([c[:, :1], parent_sp], axis=1)
+    g, found = coarse_grid.lookup(parent, fine_level.valid)
+    d = (c[:, 1:] - parent_sp) // ts  # each component in {0, 1}
+    kj = d[:, 0] * 4 + d[:, 1] * 2 + d[:, 2]  # dz-fastest offset index
+    k_idx = jnp.arange(8, dtype=jnp.int32)
+    return jnp.where(
+        (k_idx[None, :] == kj[:, None]) & found[:, None], g[:, None], -1
+    ).astype(jnp.int32)
+
+
 def invert_map(kmap: jnp.ndarray, in_cap: int) -> jnp.ndarray:
     """Invert a kernel map: ``out[j, k] = i  <=>  kmap[i, k] = j``.
 
     The transpose-conv map is exactly the inverse of the forward strided-conv
     map (same offset enumeration), so K column scatters replace K*M lookups.
+    Prefer :func:`up_map_direct` when a coarse-level grid exists (pure
+    gather + select, no scatters).
     """
     K = kmap.shape[1]
     m = kmap.shape[0]
@@ -861,6 +887,9 @@ def build_unet_topology(
     if parts == "down":
         return partial(stem, k3, down)
     up = tuple(
-        invert_map(down[l], levels[l].cap) for l in range(num_levels - 1)
+        up_map_direct(levels[l], grids[l + 1])
+        if grids[l + 1] is not None
+        else invert_map(down[l], levels[l].cap)
+        for l in range(num_levels - 1)
     )
     return partial(stem, k3, down, up)

@@ -153,7 +153,8 @@ def main():
     sem_loss_after_bb = float(aux["semantic_loss"])
 
     # phase 2: full pipeline; mask/score losses must trend down
-    hist = {"mask_loss": [], "score_loss": [], "loss": []}
+    hist = {"mask_loss": [], "score_loss": [], "loss": [],
+            "semantic_loss": []}
     ap25 = 0.0
     result = {}
     for round_i in range(3):
@@ -163,7 +164,8 @@ def main():
             for k in hist:
                 hist[k].append(float(aux[k]))
             if it % 10 == 9:
-                print(f"full step {it+1}: mask={hist['mask_loss'][-1]:.4f} "
+                print(f"full step {it+1}: sem={hist['semantic_loss'][-1]:.4f} "
+                      f"mask={hist['mask_loss'][-1]:.4f} "
                       f"score={hist['score_loss'][-1]:.4f} "
                       f"({time.time()-t0:.0f}s)", flush=True)
         res = engine.evaluate(cfg, model, state, ds, epoch=1)
@@ -173,6 +175,7 @@ def main():
               flush=True)
         if ap25 >= 0.9:
             break
+    result["sem_loss_final"] = float(np.mean(hist["semantic_loss"][-5:]))
 
     result.update(
         sem_loss_after_bb=sem_loss_after_bb,

@@ -353,3 +353,12 @@ class TestGrids:
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b), err_msg=f"{name}[{i}]"
                 )
+        # the scatter-free direct up map must equal the scatter-built inverse
+        for l in range(len(t_new.down_maps)):
+            np.testing.assert_array_equal(
+                np.asarray(t_new.up_maps[l]),
+                np.asarray(tp.invert_map(
+                    t_new.down_maps[l], t_new.levels[l].cap
+                )),
+                err_msg=f"up_map_direct vs invert_map at level {l}",
+            )
