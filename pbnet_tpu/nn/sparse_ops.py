@@ -29,8 +29,20 @@ def _take_rows0(tbl, idx):
     wraps negative indices even in fill mode, so a -1 kernel-map entry would
     silently read the LAST row — real data whenever a level runs at exactly
     full capacity.  Remapping -1 above the table length makes it genuinely
-    out of range."""
+    out of range.
+
+    2-D index arrays (kernel maps) are gathered COLUMN BY COLUMN: for a fixed
+    kernel offset the map column is monotone increasing where present (voxels
+    are key-sorted; adding a constant offset preserves lexicographic order),
+    and monotone-index gathers measure ~30% faster than one interleaved
+    gather of the whole map (v5e, _scratch/micro_sorted.py)."""
     safe = jnp.where(idx >= 0, idx, jnp.int32(tbl.shape[0]))
+    if idx.ndim == 2 and idx.shape[1] > 1:
+        cols = [
+            jnp.take(tbl, safe[:, k], axis=0, mode="fill", fill_value=0)
+            for k in range(idx.shape[1])
+        ]
+        return jnp.stack(cols, axis=1)
     return jnp.take(tbl, safe, axis=0, mode="fill", fill_value=0)
 
 
@@ -74,10 +86,17 @@ def _window_img2col(feats, kmap, kz, w):
       Wins for wide rows with short windows (cin=34 w=3: 6.8 vs 8.8 ms;
       cin=64 w=2: 3.1 vs 3.2 ms).
 
-    The GATHER itself always stays 2-D ((m*G,) anchors into the w-stacked
+    The GATHER itself always stays 2-D ((m,) anchors into the w-stacked
     table): 3-D/4-D gather operands made XLA pick transposed layouts and
     insert data-formatting copies that dwarfed the gathers themselves
     (profiled: 90 ms for a 3.3M-row window gather that costs ~5 ms in 2-D).
+
+    Anchors are gathered ONE (dx, dy) GROUP AT A TIME, not as one (m*G,)
+    interleaved gather: a group's anchors are monotone increasing where
+    present (key-sorted voxels + constant offset), and monotone-index row
+    gathers measure 2.7x faster than the interleaved equivalent on v5e
+    (_scratch/micro_sorted2.py: k3 cin=32 16.5 -> 5.9 ms, cin=64
+    17.6 -> 6.5 ms at 98k voxels).
     """
     m, K = kmap.shape
     cin = feats.shape[1]
@@ -93,30 +112,36 @@ def _window_img2col(feats, kmap, kz, w):
         )
     fS = jnp.concatenate(parts, axis=1)  # (M_in, w*Cin)
 
-    km2 = kmap.reshape(m * G, kz)
+    km3 = kmap.reshape(m, G, kz)
     big = jnp.int32(2**30)
     chunks = []
     for c0 in range(0, kz, w):
         cw = min(w, kz - c0)
-        blk = km2[:, c0 : c0 + cw]  # (mG, cw)
-        present = blk >= 0
+        blk3 = km3[:, :, c0 : c0 + cw]  # (m, G, cw)
+        pres3 = blk3 >= 0
         if cw == 1:
-            idx = jnp.where(present[:, 0], blk[:, 0], 0)
-            g1 = jnp.where(
-                present, jnp.take(f, idx, axis=0, mode="clip"), 0
-            )
+            g_parts = []
+            for g in range(G):
+                idx = jnp.where(pres3[:, g, 0], blk3[:, g, 0], 0)
+                g_parts.append(jnp.where(
+                    pres3[:, g], jnp.take(f, idx, axis=0, mode="clip"), 0
+                ))
+            g1 = jnp.stack(g_parts, axis=1)  # (m, G, cin)
             chunks.append(
-                g1.reshape(m, G, 1, cin) if mmajor else g1
+                g1.reshape(m, G, 1, cin) if mmajor
+                else g1.reshape(m * G, cin)
             )
             continue
-        anchor = jnp.min(jnp.where(present, blk, big), axis=1)  # (mG,)
+        anchor = jnp.min(jnp.where(pres3, blk3, big), axis=2)  # (m, G)
         anchor_c = jnp.where(anchor < big, anchor, 0)
-        win2 = jnp.take(fS, anchor_c, axis=0, mode="clip")  # (mG, w*cin)
-        pos = blk - anchor_c[:, None]  # (mG, cw) window position per slot
+        wins = [
+            jnp.take(fS, anchor_c[:, g], axis=0, mode="clip")
+            for g in range(G)
+        ]
+        win3 = jnp.stack(wins, axis=1)  # (m, G, w*cin)
+        pos3 = blk3 - anchor_c[:, :, None]  # (m, G, cw) window pos per slot
         if mmajor:
-            win4 = win2.reshape(m, G, w, cin)
-            pos3 = pos.reshape(m, G, cw)
-            pres3 = present.reshape(m, G, cw)
+            win4 = win3.reshape(m, G, w, cin)
             out = jnp.zeros((m, G, cw, cin), f.dtype)
             for s in range(w):
                 out = out + jnp.where(
@@ -125,6 +150,9 @@ def _window_img2col(feats, kmap, kz, w):
                 )
             chunks.append(out)  # (m, G, cw, cin)
             continue
+        win2 = win3.reshape(m * G, w * cin)
+        pos = pos3.reshape(m * G, cw)
+        present = pres3.reshape(m * G, cw)
         outs = []
         for ti in range(cw):
             sel = jnp.zeros((m * G, cin), f.dtype)
