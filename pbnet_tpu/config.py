@@ -109,6 +109,12 @@ class Config:
     momentum: float = 0.9
     weight_decay: float = 0.0001
 
+    # ---- model architecture (/root/reference/network/PBNet.py:89-92; the
+    # reference hardcodes 34C/14A/34C but ships the full MinkUNet factory) ----
+    backbone_arch: str = "MinkUNet34C"
+    dunet_arch: str = "MinkUNet14A"
+    score_arch: str = "MinkUNet34C"
+
     # ---- clustering (config.py:43-46) ----
     cluster_epoch: int = 128
     min_pts: int = 31

@@ -67,6 +67,9 @@ def build_model(cfg: Config, multi_device: bool, shapes=None) -> PBNet:
         radius=cfg.radius,
         min_pts=cfg.min_pts,
         axis_name=mesh_lib.DATA_AXIS if (multi_device and cfg.sync_bn) else None,
+        backbone_arch=cfg.backbone_arch,
+        dunet_arch=cfg.dunet_arch,
+        score_arch=cfg.score_arch,
     )
 
 

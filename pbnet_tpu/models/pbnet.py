@@ -69,12 +69,16 @@ class PBNet(nn.Module):
     radius: float = 0.04
     min_pts: int = 31
     axis_name: Optional[str] = None
+    # UNet variants (reference defaults /root/reference/network/PBNet.py:89-92)
+    backbone_arch: str = "MinkUNet34C"
+    dunet_arch: str = "MinkUNet14A"
+    score_arch: str = "MinkUNet34C"
 
     def setup(self):
         ax = self.axis_name
-        self.MEUnet = minkunet.mink_unet(32, "MinkUNet34C", axis_name=ax)
-        self.D_Unet = minkunet.mink_unet(32, "MinkUNet14A", axis_name=ax)
-        self.score_Unet = minkunet.mink_unet(32, "MinkUNet34C", axis_name=ax)
+        self.MEUnet = minkunet.mink_unet(32, self.backbone_arch, axis_name=ax)
+        self.D_Unet = minkunet.mink_unet(32, self.dunet_arch, axis_name=ax)
+        self.score_Unet = minkunet.mink_unet(32, self.score_arch, axis_name=ax)
         self.linear_sem = MLPHead(16, self.sem_num, axis_name=ax)
         self.linear_offset = MLPHead(16, 3, axis_name=ax)
         self.linear_binary = MLPHead(16, 1, axis_name=ax, final_sigmoid=True)

@@ -19,7 +19,8 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..core.topology import UNetTopology
+from ..core.topology import DenseGrid, UNetTopology
+from . import sparse_ops
 from .modules import BLOCKS, BLOCK_EXPANSION, MaskedBatchNorm, SparseConv, SparseLinear, relu
 
 
@@ -28,6 +29,54 @@ def _stem_conv(init_dim, topo: UNetTopology, feats, valid0):
     conv = SparseConv(init_dim, topo.stem_map.shape[1], name="conv0")
     return conv(feats, topo.stem_map, valid0,
                 kmap_bwd=topo.stem_map[:, ::-1])
+
+
+# Levels whose dense grid has at most this many cells run their convs on the
+# dense grid (scatter -> MXU conv -> gather) instead of gather-GEMM.  With
+# monotone per-group gathers the sparse path wins down to surprisingly
+# coarse levels (L1 7.0 vs 18.3 ms, L2 2.9 vs 3.4 on real topology,
+# _scratch/micro_dense.py); only the smallest grids (L3/L4 at a single-scene
+# eval extent: <= ~20k cells) tie or edge out sparse, where the scatter/
+# gather pair is trivial and the conv is one fused MXU pass.
+DENSE_MAX_CELLS = 30_000
+
+
+def _dense_cells(topo: UNetTopology):
+    """Per-level flat cell indices + dims where the dense-grid path applies."""
+    n = len(topo.levels)
+    idx = [None] * n
+    dims = [None] * n
+    grids = topo.grids or ()
+    for l, lv in enumerate(topo.levels):
+        g = grids[l] if l < len(grids) else None
+        if not isinstance(g, DenseGrid) or g.dims is None:
+            continue
+        if g.dims[0] * g.dims[1] * g.dims[2] * g.dims[3] > DENSE_MAX_CELLS:
+            continue
+        idx[l] = sparse_ops.cell_index(lv.coords, lv.valid, g.dims, lv.stride)
+        dims[l] = g.dims
+    return idx, dims
+
+
+def _same_plan(idx, dims, l):
+    if idx[l] is None:
+        return None
+    return sparse_ops.DensePlan(in_idx=idx[l], out_idx=idx[l], mode="same",
+                                dims_in=dims[l], dims_out=dims[l])
+
+
+def _pair_plan(idx, dims, fine, mode):
+    """down: fine -> fine+1; up: fine+1 -> fine.  Dense only when the FINE
+    grid (the big operand) is below the cell gate."""
+    if idx[fine] is None or idx[fine + 1] is None:
+        return None
+    if mode == "down":
+        return sparse_ops.DensePlan(
+            in_idx=idx[fine], out_idx=idx[fine + 1], mode="down",
+            dims_in=dims[fine], dims_out=dims[fine + 1])
+    return sparse_ops.DensePlan(
+        in_idx=idx[fine + 1], out_idx=idx[fine], mode="up",
+        dims_in=dims[fine + 1], dims_out=dims[fine])
 
 
 class MinkUNetBase(nn.Module):
@@ -42,13 +91,14 @@ class MinkUNetBase(nn.Module):
     # step spills/compresses and runtime explodes
     remat: bool = True
 
-    def _blocks(self, n, planes, feats, kmap, valid, train, name):
+    def _blocks(self, n, planes, feats, kmap, valid, train, name,
+                dense_plan=None):
         blk = BLOCKS[self.block]
         if self.remat:
             blk = nn.remat(blk, static_argnums=(4,))
         for i in range(n):
             feats = blk(planes, axis_name=self.axis_name, name=f"{name}_{i}")(
-                feats, kmap, valid, train
+                feats, kmap, valid, train, dense_plan
             )
         return feats
 
@@ -58,6 +108,7 @@ class MinkUNetBase(nn.Module):
         lv = topo.levels
         v = [l.valid for l in lv]
         exp = BLOCK_EXPANSION[self.block]
+        didx, ddims = _dense_cells(topo)
 
         # stem (conv0p1s1 k=5 + bn0 + relu), /root/reference/network/Mink.py:221-224,293-295
         out = _stem_conv(self.init_dim, topo, feats, v[0])
@@ -70,12 +121,14 @@ class MinkUNetBase(nn.Module):
         ch = self.init_dim
         for s in range(4):
             x = SparseConv(ch, 8, name=f"conv{s+1}s2")(
-                x, topo.down_maps[s], v[s + 1], kmap_bwd=topo.up_maps[s])
+                x, topo.down_maps[s], v[s + 1], kmap_bwd=topo.up_maps[s],
+                dense_plan=_pair_plan(didx, ddims, s, "down"))
             x = MaskedBatchNorm(axis_name=ax, name=f"bn{s+1}")(x, v[s + 1], train)
             x = relu(x)
             x = self._blocks(
                 self.layers[s], self.planes[s], x, topo.k3_maps[s + 1], v[s + 1],
                 train, f"block{s+1}",
+                dense_plan=_same_plan(didx, ddims, s + 1),
             )
             ch = self.planes[s] * exp
             enc.append(x)
@@ -85,7 +138,8 @@ class MinkUNetBase(nn.Module):
         for d in range(4):
             lvl = 3 - d  # target level index
             x = SparseConv(self.planes[4 + d], 8, name=f"convtr{4+d}")(
-                x, topo.up_maps[lvl], v[lvl], kmap_bwd=topo.down_maps[lvl]
+                x, topo.up_maps[lvl], v[lvl], kmap_bwd=topo.down_maps[lvl],
+                dense_plan=_pair_plan(didx, ddims, lvl, "up")
             )
             x = MaskedBatchNorm(axis_name=ax, name=f"bntr{4+d}")(x, v[lvl], train)
             x = relu(x)
@@ -93,6 +147,7 @@ class MinkUNetBase(nn.Module):
             x = self._blocks(
                 self.layers[4 + d], self.planes[4 + d], x, topo.k3_maps[lvl],
                 v[lvl], train, f"block{5+d}",
+                dense_plan=_same_plan(didx, ddims, lvl),
             )
 
         # final 1x1 conv with bias (/root/reference/network/Mink.py:282-287)

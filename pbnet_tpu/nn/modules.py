@@ -45,7 +45,8 @@ class SparseConv(nn.Module):
     use_bias: bool = False  # ME MinkowskiConvolution default
 
     @nn.compact
-    def __call__(self, feats, kmap, valid_out, kmap_bwd=None):
+    def __call__(self, feats, kmap, valid_out, kmap_bwd=None,
+                 dense_plan=None):
         cin = feats.shape[-1]
         w = self.param(
             "kernel", kaiming_conv_init, (self.kernel_volume, cin, self.features)
@@ -55,6 +56,10 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
+        if dense_plan is not None:
+            # coarse-level dense-grid path (see sparse_ops.DensePlan); same
+            # params/semantics, no kernel map needed
+            return sparse_ops.dense_conv(feats, dense_plan, w, valid_out, b)
         return sparse_ops.gather_conv(feats, kmap, w, valid_out, b,
                                       kmap_bwd=kmap_bwd)
 
@@ -161,15 +166,15 @@ class BasicBlock(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, feats, kmap3, valid, train: bool):
+    def __call__(self, feats, kmap3, valid, train: bool, dense_plan=None):
         inplanes = feats.shape[-1]
         kb = kmap3[:, ::-1]  # same-level symmetric offsets: transpose = flip
         y = SparseConv(self.planes, kmap3.shape[1], name="conv1")(
-            feats, kmap3, valid, kmap_bwd=kb)
+            feats, kmap3, valid, kmap_bwd=kb, dense_plan=dense_plan)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid, train)
         y = relu(y)
         y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(
-            y, kmap3, valid, kmap_bwd=kb)
+            y, kmap3, valid, kmap_bwd=kb, dense_plan=dense_plan)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid, train)
         if inplanes != self.planes * self.expansion:
             skip = SparseLinear(self.planes * self.expansion, use_bias=False,
@@ -189,13 +194,13 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, feats, kmap3, valid, train: bool):
+    def __call__(self, feats, kmap3, valid, train: bool, dense_plan=None):
         inplanes = feats.shape[-1]
         y = SparseLinear(self.planes, use_bias=False, name="conv1")(feats, valid)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid, train)
         y = relu(y)
         y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(
-            y, kmap3, valid, kmap_bwd=kmap3[:, ::-1])
+            y, kmap3, valid, kmap_bwd=kmap3[:, ::-1], dense_plan=dense_plan)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid, train)
         y = relu(y)
         y = SparseLinear(self.planes * self.expansion, use_bias=False,

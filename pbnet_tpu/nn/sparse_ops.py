@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -270,6 +271,217 @@ def gather_conv(
         y = _conv_fwd_math(feats, kmap, weights, valid_out, kz)
     else:
         y = _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out)
+    if bias is not None:
+        y = jnp.where(valid_out[:, None], y + bias, 0.0)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Dense-grid convolution for COARSE levels.
+#
+# The sparse gather-GEMM pays ~K gather ops per output voxel; at coarse UNet
+# levels (small dense extents, e.g. 64x64x40 at stride 4 of a single ScanNet
+# scene) the dense grid is tiny and MXU conv FLOPs are nearly free, so
+# scatter -> dense conv -> gather removes the gather wall entirely.  The
+# stride-2 down/up convs become pure reshape+GEMM (each output cell reads a
+# disjoint 2x2x2 block).  NOT used at fine levels: a 256^3 L0 grid is 10.5M
+# cells at ~1% occupancy and loses (measured end-to-end, PERF.md r2).
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class DensePlan:
+    """Static geometry + per-voxel cell indices for a dense-grid conv.
+
+    ``in_idx`` / ``out_idx`` hold each voxel row's flat cell index in the
+    (B, X, Y, Z) grid of its level, with invalid rows pointing at the dummy
+    cell ``prod(dims)`` (scattered values land on a discarded row; gathers
+    read an appended zero row).  ``mode``:
+
+    * ``same``: k=3 stride-1 conv, in/out on one level
+    * ``down``: k=2 s=2 conv, fine -> coarse (dims_out = ceil(dims_in / 2))
+    * ``up``:   k=2 s=2 transposed conv, coarse -> fine
+    """
+
+    in_idx: jnp.ndarray  # (M_in,) int32
+    out_idx: jnp.ndarray  # (M_out,) int32
+    mode: str = flax.struct.field(pytree_node=False)
+    dims_in: tuple = flax.struct.field(pytree_node=False)
+    dims_out: tuple = flax.struct.field(pytree_node=False)
+
+
+def cell_index(coords4, valid, dims, stride) -> jnp.ndarray:
+    """Flat (B, X, Y, Z)-grid cell index of each voxel row (see DensePlan)."""
+    q = coords4[:, 1:] // stride
+    flat = ((coords4[:, 0] * dims[1] + q[:, 0]) * dims[2] + q[:, 1]) \
+        * dims[3] + q[:, 2]
+    cells = dims[0] * dims[1] * dims[2] * dims[3]
+    ok = (
+        valid
+        & (coords4[:, 0] >= 0) & (coords4[:, 0] < dims[0])
+        & jnp.all(q >= 0, axis=1)
+        & (q[:, 0] < dims[1]) & (q[:, 1] < dims[2]) & (q[:, 2] < dims[3])
+    )
+    return jnp.where(ok, flat, cells).astype(jnp.int32)
+
+
+def _prod4(d):
+    return d[0] * d[1] * d[2] * d[3]
+
+
+def _scatter_dense(rows, idx, dims):
+    """(M, C) rows -> (B, X, Y, Z, C) dense grid (invalid -> dummy row)."""
+    cells = _prod4(dims)
+    c = rows.shape[1]
+    d = jnp.zeros((cells + 1, c), rows.dtype).at[idx].set(rows, mode="drop")
+    return d[:cells].reshape(dims + (c,))
+
+
+def _gather_dense(grid5, idx, valid_out):
+    """(B, X, Y, Z, C) dense grid -> (M, C) rows at ``idx``."""
+    c = grid5.shape[-1]
+    flat = grid5.reshape(-1, c)
+    flat = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
+    out = jnp.take(flat, idx, axis=0)
+    return jnp.where(valid_out[:, None], out, 0.0)
+
+
+# k=3 same-level dense core: "conv3d" (lax.conv_general_dilated) or
+# "shiftg" (27 static shifted slices, one GEMM each).  On v5e with REAL
+# topology conv3d wins every level (shiftg pays 27 full-grid reads:
+# 74.75 vs 18.28 ms at L1, _scratch/micro_dense.py); shiftg is kept as a
+# tested fallback for backends with slow 3-D conv lowering.
+DENSE_SAME_IMPL = "conv3d"
+
+
+def _dense_core(mode, dims_in, dims_out, x, w, impl=None):
+    """Dense conv math on a (B, X, Y, Z, Cin) grid.  ``w`` is (K, Cin, Cout)
+    in the ME x-major offset enumeration (dz fastest) — the same layout the
+    kernel maps use, so dense and sparse paths share checkpoints."""
+    k, cin, cout = w.shape
+    if impl is None:
+        impl = DENSE_SAME_IMPL
+    if mode == "same":
+        assert k == 27, k
+        if impl == "conv3d":
+            return jax.lax.conv_general_dilated(
+                x, w.reshape(3, 3, 3, cin, cout),
+                window_strides=(1, 1, 1), padding="SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        cells = _prod4(dims_in)
+        acc = jnp.zeros((cells, cout), jnp.float32)
+        ki = 0
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    xs = xp[:, dx:dx + dims_in[1], dy:dy + dims_in[2],
+                            dz:dz + dims_in[3], :]
+                    acc = acc + jax.lax.dot_general(
+                        xs.reshape(cells, cin), w[ki],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    ki += 1
+        return acc.reshape(dims_in + (cout,))
+    if mode == "down":
+        assert k == 8, k
+        B, X2, Y2, Z2 = dims_out
+        xp = jnp.pad(x, (
+            (0, 0),
+            (0, 2 * X2 - dims_in[1]),
+            (0, 2 * Y2 - dims_in[2]),
+            (0, 2 * Z2 - dims_in[3]),
+            (0, 0),
+        ))
+        # out[p] = sum_d W[d] x[2p + d]: disjoint 2x2x2 blocks -> one GEMM
+        blk = xp.reshape(B, X2, 2, Y2, 2, Z2, 2, cin)
+        blk = blk.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,X2,Y2,Z2, dx,dy,dz, ci)
+        y = jax.lax.dot_general(
+            blk.reshape(_prod4(dims_out), 8 * cin),
+            w.reshape(8 * cin, cout),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(dims_out + (cout,))
+    if mode == "up":
+        assert k == 8, k
+        B, X2, Y2, Z2 = dims_in
+        # out[2p + d] = W[d]^T x[p]: one GEMM to all 8 children, interleave
+        y8 = jax.lax.dot_general(
+            x.reshape(_prod4(dims_in), cin),
+            jnp.swapaxes(w, 0, 1).reshape(cin, 8 * cout),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, X2, Y2, Z2, 2, 2, 2, cout)
+        y = y8.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            B, 2 * X2, 2 * Y2, 2 * Z2, cout)
+        return y[:, : dims_out[1], : dims_out[2], : dims_out[3], :]
+    raise ValueError(mode)
+
+
+def _dense_fwd_math(spec, feats, in_idx, out_idx, weights, valid_out):
+    mode, dims_in, dims_out = spec
+    x = _scatter_dense(feats.astype(COMPUTE_DTYPE), in_idx, dims_in)
+    y = _dense_core(mode, dims_in, dims_out,
+                    x, weights.astype(COMPUTE_DTYPE))
+    return _gather_dense(y, out_idx, valid_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dense_conv_core(spec, feats, in_idx, out_idx, weights, valid_out):
+    """Dense-grid conv whose BACKWARD stays dense (no scatter-adds).
+
+    The gather-back's autodiff transpose would be a scatter-ADD; because the
+    out cells are unique, a scatter-SET of dy into the dense grid is
+    identical, and the inner conv core differentiates through XLA's native
+    conv/GEMM transposes.
+    """
+    return _dense_fwd_math(spec, feats, in_idx, out_idx, weights, valid_out)
+
+
+def _dc_fwd(spec, feats, in_idx, out_idx, weights, valid_out):
+    y = _dense_fwd_math(spec, feats, in_idx, out_idx, weights, valid_out)
+    return y, (feats, in_idx, out_idx, weights, valid_out)
+
+
+def _dc_bwd(spec, res, dy):
+    feats, in_idx, out_idx, weights, valid_out = res
+    mode, dims_in, dims_out = spec
+    dy = jnp.where(valid_out[:, None], dy, 0.0).astype(COMPUTE_DTYPE)
+    dy_dense = _scatter_dense(dy, out_idx, dims_out)
+    x = _scatter_dense(feats.astype(COMPUTE_DTYPE), in_idx, dims_in)
+    # differentiate through the shift-GEMM formulation: identical linear
+    # map, and dot_general's transpose handles bf16 operands with an f32
+    # cotangent (lax.conv's transpose rejects the dtype mix).  The backward
+    # only runs at <= DENSE_MAX_CELLS grids, so the impl choice is free.
+    _, pullback = jax.vjp(
+        lambda xx, ww: _dense_core(mode, dims_in, dims_out, xx, ww,
+                                   impl="shiftg"),
+        x, weights.astype(COMPUTE_DTYPE),
+    )
+    dx_dense, dw = pullback(dy_dense.astype(jnp.float32))
+    dx = _gather_dense(dx_dense, in_idx, jnp.ones_like(in_idx, jnp.bool_))
+    return (dx.astype(feats.dtype), None, None,
+            dw.astype(weights.dtype), None)
+
+
+_dense_conv_core.defvjp(_dc_fwd, _dc_bwd)
+
+
+def dense_conv(
+    feats: jnp.ndarray,  # (M_in, Cin)
+    plan: DensePlan,
+    weights: jnp.ndarray,  # (K, Cin, Cout), ME offset enumeration
+    valid_out: jnp.ndarray,  # (M_out,) bool
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sparse conv via a dense coarse-level grid (see DensePlan)."""
+    spec = (plan.mode, tuple(plan.dims_in), tuple(plan.dims_out))
+    y = _dense_conv_core(spec, feats, plan.in_idx, plan.out_idx,
+                         weights, valid_out)
     if bias is not None:
         y = jnp.where(valid_out[:, None], y + bias, 0.0)
     return y

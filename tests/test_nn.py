@@ -360,3 +360,138 @@ class TestMissingNeighborZero:
             f, kmap, w, valid) ** 2))(feats)
         np.testing.assert_allclose(np.asarray(g_gather), np.asarray(g_auto),
                                    rtol=5e-2, atol=5e-2)
+
+
+class TestDenseConv:
+    """The coarse-level dense-grid conv must match gather-GEMM exactly
+    (same weights/enumeration) in f32, forward and backward, for all three
+    modes — and for both same-level core implementations."""
+
+    def _levels(self, rng, side=11, keep=0.5):
+        coords = np.array(
+            [(0, x, y, z) for x in range(side) for y in range(side)
+             for z in range(max(side - 3, 2))], np.int32,
+        )
+        coords = coords[rng.rand(len(coords)) < keep]
+        n = coords.shape[0]
+        cap = n + 9
+        cpad = np.zeros((cap, 4), np.int32)
+        cpad[:n] = coords
+        valid = np.arange(cap) < n
+        lv = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1)
+        lv2 = tp.downsample(lv, 2, cap)
+        extent = (1, side, side, side)
+        dims1 = extent
+        dims2 = (1, -(-side // 2), -(-side // 2), -(-side // 2))
+        return lv, lv2, dims1, dims2
+
+    def _plan(self, lv_in, lv_out, dims_in, dims_out, mode):
+        i_in = sparse_ops.cell_index(lv_in.coords, lv_in.valid, dims_in,
+                                     lv_in.stride)
+        i_out = sparse_ops.cell_index(lv_out.coords, lv_out.valid, dims_out,
+                                      lv_out.stride)
+        return sparse_ops.DensePlan(in_idx=i_in, out_idx=i_out, mode=mode,
+                                    dims_in=dims_in, dims_out=dims_out)
+
+    def test_all_modes_match_gather_conv(self, rng):
+        lv, lv2, dims1, dims2 = self._levels(rng)
+        km3 = tp.conv_map(lv, lv, 3)
+        kmd = tp.conv_map(lv2, lv, 2)
+        kmu = tp.conv_transpose_map(lv, lv2, 2)
+        cases = [
+            ("same", km3, lv, lv, dims1, dims1, 27),
+            ("down", kmd, lv, lv2, dims1, dims2, 8),
+            ("up", kmu, lv2, lv, dims2, dims1, 8),
+        ]
+        old_dtype = sparse_ops.COMPUTE_DTYPE
+        old_impl = sparse_ops.DENSE_SAME_IMPL
+        sparse_ops.COMPUTE_DTYPE = jnp.float32
+        try:
+            for mode, km, li, lo, di, do, K in cases:
+                x = jnp.asarray(rng.randn(li.cap, 5).astype(np.float32))
+                x = x * li.valid[:, None]
+                w = jnp.asarray(rng.randn(K, 5, 4).astype(np.float32))
+                dy = jnp.asarray(rng.randn(lo.cap, 4).astype(np.float32))
+                plan = self._plan(li, lo, di, do, mode)
+
+                f_sp = lambda x, w: jnp.sum(
+                    sparse_ops.gather_conv(x, km, w, lo.valid) * dy)
+                impls = ("shiftg", "conv3d") if mode == "same" else (old_impl,)
+                for impl in impls:
+                    sparse_ops.DENSE_SAME_IMPL = impl
+                    f_dn = lambda x, w: jnp.sum(
+                        sparse_ops.dense_conv(x, plan, w, lo.valid) * dy)
+                    np.testing.assert_allclose(
+                        np.asarray(sparse_ops.dense_conv(x, plan, w, lo.valid)),
+                        np.asarray(sparse_ops.gather_conv(x, km, w, lo.valid)),
+                        rtol=1e-4, atol=1e-4,
+                        err_msg=f"{mode}/{impl} forward",
+                    )
+                    gx_s, gw_s = jax.grad(f_sp, argnums=(0, 1))(x, w)
+                    gx_d, gw_d = jax.grad(f_dn, argnums=(0, 1))(x, w)
+                    vm = np.asarray(li.valid)
+                    np.testing.assert_allclose(
+                        np.asarray(gx_d)[vm], np.asarray(gx_s)[vm],
+                        rtol=1e-4, atol=1e-4, err_msg=f"{mode}/{impl} gx")
+                    np.testing.assert_allclose(
+                        np.asarray(gw_d), np.asarray(gw_s),
+                        rtol=1e-4, atol=1e-4, err_msg=f"{mode}/{impl} gw")
+        finally:
+            sparse_ops.COMPUTE_DTYPE = old_dtype
+            sparse_ops.DENSE_SAME_IMPL = old_impl
+
+    def test_bf16_backward_runs(self, rng):
+        """Production dtype (bf16 compute) must differentiate through all
+        three dense modes — lax.conv's transpose rejects the bf16/f32 mix,
+        so the backward routes through the shift-GEMM formulation."""
+        lv, lv2, dims1, dims2 = self._levels(rng)
+        cases = [("same", lv, lv, dims1, dims1, 27),
+                 ("down", lv, lv2, dims1, dims2, 8),
+                 ("up", lv2, lv, dims2, dims1, 8)]
+        assert sparse_ops.COMPUTE_DTYPE == jnp.bfloat16
+        for mode, li, lo, di, do, K in cases:
+            x = jnp.asarray(rng.randn(li.cap, 5).astype(np.float32))
+            w = jnp.asarray(rng.randn(K, 5, 4).astype(np.float32))
+            plan = self._plan(li, lo, di, do, mode)
+            f = lambda x, w: jnp.sum(
+                sparse_ops.dense_conv(x, plan, w, lo.valid) ** 2)
+            gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+            assert np.isfinite(np.asarray(gx)).all(), mode
+            assert np.isfinite(np.asarray(gw)).all(), mode
+
+    def test_unet_forward_matches_with_dense_levels(self, rng):
+        """A full MinkUNet forward with the dense gate covering levels 1+
+        must equal the all-sparse forward (f32)."""
+        side = 10
+        coords = np.array(
+            [(0, x, y, z) for x in range(side) for y in range(side)
+             for z in range(side)], np.int32,
+        )
+        coords = coords[rng.rand(len(coords)) < 0.4]
+        n = coords.shape[0]
+        cap = n + 8
+        cpad = np.zeros((cap, 4), np.int32)
+        cpad[:n] = coords
+        valid = np.arange(cap) < n
+        lv0 = tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1)
+        caps = [cap] * 5
+        extent = (1, side, side, side)
+        topo = tp.build_unet_topology(lv0, caps, extent=extent)
+        feats = jnp.asarray(rng.randn(cap, 3).astype(np.float32))
+        feats = feats * lv0.valid[:, None]
+        model = minkunet.mink_unet(7, arch="MinkUNet14A")
+
+        old_dtype = sparse_ops.COMPUTE_DTYPE
+        old_gate = minkunet.DENSE_MAX_CELLS
+        sparse_ops.COMPUTE_DTYPE = jnp.float32
+        try:
+            var = model.init(jax.random.PRNGKey(0), topo, feats, False)
+            minkunet.DENSE_MAX_CELLS = 0  # all sparse
+            y_sparse = model.apply(var, topo, feats, False)
+            minkunet.DENSE_MAX_CELLS = side ** 3 + 1  # dense at L1+ (not L0)
+            y_dense = model.apply(var, topo, feats, False)
+        finally:
+            sparse_ops.COMPUTE_DTYPE = old_dtype
+            minkunet.DENSE_MAX_CELLS = old_gate
+        np.testing.assert_allclose(
+            np.asarray(y_dense), np.asarray(y_sparse), rtol=2e-4, atol=2e-4)

@@ -94,7 +94,11 @@ def synthetic_batch(rng, n_pts=900, pad=2048):
 def model_and_vars():
     rng = np.random.RandomState(7)
     batch, n = synthetic_batch(rng)
-    model = PBNet(shapes=TINY)
+    # smallest family member: same stage-1/2/3 code paths with ~3x less
+    # XLA:CPU compile; the real 34C layout stays pinned by test_convert's
+    # golden checkpoint-parity tests
+    model = PBNet(shapes=TINY, backbone_arch="MinkUNet14A",
+                  score_arch="MinkUNet14A")
     variables = jax.jit(
         lambda key, b: model.init(
             key, b, with_instances=True, with_labels=True, train=False
