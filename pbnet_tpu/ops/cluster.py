@@ -67,6 +67,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import pallas_kernels as pk
+
 INF_I32 = np.int32(2**31 - 1)
 
 
@@ -277,11 +279,42 @@ def binary_cluster(
         m = mask.reshape(mask.shape[:-1] + (NW, 32))
         return jnp.sum(m.astype(jnp.uint32) << bitpos, axis=-1, dtype=jnp.uint32)
 
-    bits = tuple(pack_w(nbr_mask(s)) for s in sides)  # 2 x (nchunks, chunk, NW)
-    density_s = (
-        jnp.sum(jax.lax.population_count(bits[0]), axis=2)
-        + jnp.sum(jax.lax.population_count(bits[1]), axis=2)
-    ).reshape(npad)[:n].astype(jnp.int32)
+    def lane(x):
+        """(nchunks, W) -> (nchunks, 32, NW) bit-lane-major window planes."""
+        return x.reshape(nchunks, NW, 32).swapaxes(1, 2)
+
+    if pk.use_pallas():
+        # one fused Pallas pass: distances + masks + pack + density, all
+        # in VMEM (the XLA path below writes/reads the mask via the packed
+        # reduction 32 bit-positions at a time)
+        rows_f = jnp.stack([rx, ry, rz], axis=1)
+        rows_i = jnp.stack([rg, rv.astype(jnp.int32), rows_idx], axis=1)
+
+        def wplanes(which):
+            w, idx, extra = (win, w_idx, None) if which == 1 else (
+                win2, w_idx2, fresh2)
+            cp = w(pos_p)
+            cv_ = w(valid_p)
+            if extra is not None:
+                cv_ = cv_ & extra
+            wf = jnp.stack(
+                [lane(cp[:, :, 0]), lane(cp[:, :, 1]), lane(cp[:, :, 2])], 1)
+            wi = jnp.stack(
+                [lane(w(g_p)), lane(cv_.astype(jnp.int32)), lane(idx)], 1)
+            return wf, wi
+
+        w1f, w1i = wplanes(1)
+        w2f, w2i = wplanes(2)
+        b1, b2, dens = pk.neighbor_pack(
+            r2, rows_f, rows_i, w1f, w1i, w2f, w2i)
+        bits = (b1, b2)
+        density_s = dens.reshape(npad)[:n]
+    else:
+        bits = tuple(pack_w(nbr_mask(s)) for s in sides)  # 2 x (nc, chunk, NW)
+        density_s = (
+            jnp.sum(jax.lax.population_count(bits[0]), axis=2)
+            + jnp.sum(jax.lax.population_count(bits[1]), axis=2)
+        ).reshape(npad)[:n].astype(jnp.int32)
     hp_s = (density_s >= min_pts) & valid_s
     hp_p = pad_to(hp_s, False)
     # HP-filtered bits: propagation and border passes only look at HP
@@ -329,7 +362,16 @@ def binary_cluster(
 
         values_p: (npad,) per-point values; returns (nchunks, chunk) of
         ``reducer`` over {values[j] : bit j set} starting from ``init``.
+
+        On TPU this is one Pallas pass that reads each bit-word once
+        (pallas_kernels.masked_window_reduce); the XLA fallback below
+        re-reads the word tensor per bit position (32x the HBM traffic).
         """
+        if pk.use_pallas():
+            return pk.masked_window_reduce(
+                bhp_words[0], bhp_words[1], win(values_p), win2(values_p),
+                minimize=reducer is jnp.minimum,
+            )
         red = jnp.min if reducer is jnp.minimum else jnp.max
         best = jnp.full((nchunks, chunk), init, values_p.dtype)
         for bw, w in zip(bhp_words, (win, win2)):
@@ -391,15 +433,21 @@ def binary_cluster(
     # whose first-orig equals that max (equal first-orig => identical
     # component, so any matching root is THE root). ----
     best_first = bits_reduce(first_p, bits_hp, jnp.maximum, jnp.int32(-1))
-    root_pick = jnp.full((nchunks, chunk), -1, jnp.int32)
-    for bw, w in zip(bits_hp, (win, win2)):
-        fw = w(first_p).reshape(nchunks, NW, 32)
-        lw = w(label_p).reshape(nchunks, NW, 32)
-        for b in range(32):
-            m = (bw >> jnp.uint32(b)) & jnp.uint32(1)
-            hit = (m > 0) & (fw[:, None, :, b] == best_first[:, :, None])
-            cand = jnp.where(hit, lw[:, None, :, b], -1)
-            root_pick = jnp.maximum(root_pick, jnp.max(cand, axis=2))
+    if pk.use_pallas():
+        root_pick = pk.masked_window_match_pick(
+            bits_hp[0], bits_hp[1], win(first_p), win2(first_p),
+            win(label_p), win2(label_p), best_first,
+        )
+    else:
+        root_pick = jnp.full((nchunks, chunk), -1, jnp.int32)
+        for bw, w in zip(bits_hp, (win, win2)):
+            fw = w(first_p).reshape(nchunks, NW, 32)
+            lw = w(label_p).reshape(nchunks, NW, 32)
+            for b in range(32):
+                m = (bw >> jnp.uint32(b)) & jnp.uint32(1)
+                hit = (m > 0) & (fw[:, None, :, b] == best_first[:, :, None])
+                cand = jnp.where(hit, lw[:, None, :, b], -1)
+                root_pick = jnp.maximum(root_pick, jnp.max(cand, axis=2))
     border_first = best_first.reshape(npad)[:n]
     border_root = root_pick.reshape(npad)[:n]
     is_border = (~hp_s) & valid_s & (border_first >= 0)
@@ -485,10 +533,20 @@ def binary_cluster(
         def band_1nn(which):
             w, anc, fr = ((win, anchor, None) if which == 1
                           else (win2, anchor2, fresh2))
-            cwx, cwy, cwz = (w(orig_p[:, a])[:, ::-1] for a in range(3))
-            cass = w(assigned_p)[:, ::-1]
+            cass = w(assigned_p)
             if fr is not None:
-                cass = cass & fr[:, ::-1]
+                cass = cass & fr
+            if pk.use_pallas():
+                rows_fq = jnp.stack(rx3, axis=1)
+                rows_iq = jnp.stack([rg, rg, rg], axis=1)
+                wfq = jnp.stack([lane(w(orig_p[:, a])) for a in range(3)], 1)
+                wiq = jnp.stack(
+                    [lane(w(g_p)), lane(cass.astype(jnp.int32)),
+                     lane(w(g_p))], 1)
+                bd2, col = pk.window_1nn(rows_fq, rows_iq, wfq, wiq)
+                return bd2, anc[:, None] + col
+            cwx, cwy, cwz = (w(orig_p[:, a])[:, ::-1] for a in range(3))
+            cass = cass[:, ::-1]
             cgr = w(g_p)[:, ::-1]
             dxw = rx3[0][:, :, None] - cwx[:, None, :]
             dyw = rx3[1][:, :, None] - cwy[:, None, :]

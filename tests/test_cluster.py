@@ -176,3 +176,119 @@ class TestCluster:
         cid = np.asarray(res.cluster_id)
         assert len(set(cid[:60])) == 1 and len(set(cid[60:])) == 1
         assert cid[0] != cid[60]
+
+
+class TestPallasKernels:
+    """The Pallas masked-window kernels must match the XLA bit-unrolled
+    fallback exactly (integer algebra, no tolerance).  Runs through the
+    Pallas interpreter on CPU."""
+
+    def _mk(self, rng, nchunks=3, chunk=64, nw=2):
+        w = nw * 32
+        bits1 = rng.randint(0, 2**32, (nchunks, chunk, nw)).astype(np.uint32)
+        bits2 = rng.randint(0, 2**32, (nchunks, chunk, nw)).astype(np.uint32)
+        # sparse masks exercise empty rows too
+        bits1[rng.rand(nchunks, chunk, nw) < 0.5] = 0
+        bits2[rng.rand(nchunks, chunk, nw) < 0.8] = 0
+        vw1 = rng.randint(-1, 10_000, (nchunks, w)).astype(np.int32)
+        vw2 = rng.randint(-1, 10_000, (nchunks, w)).astype(np.int32)
+        return bits1, bits2, vw1, vw2
+
+    @staticmethod
+    def _xla_reduce(bits1, bits2, vw1, vw2, minimize):
+        init = cl.INF_I32 if minimize else np.int32(-1)
+        red = np.minimum if minimize else np.maximum
+        nchunks, chunk, nw = bits1.shape
+        best = np.full((nchunks, chunk), init, np.int64)
+        for bits, vw in ((bits1, vw1), (bits2, vw2)):
+            v = vw.reshape(nchunks, nw, 32)
+            for b in range(32):
+                m = (bits >> np.uint32(b)) & 1
+                cand = np.where(m > 0, v[:, None, :, b], init)
+                best = red(best, cand.min(2) if minimize else cand.max(2))
+        return best.astype(np.int32)
+
+    def test_reduce_matches_fallback(self, rng):
+        from pbnet_tpu.ops import pallas_kernels as pk
+
+        bits1, bits2, vw1, vw2 = self._mk(rng)
+        old = pk.INTERPRET
+        pk.INTERPRET = True
+        try:
+            for minimize in (True, False):
+                got = np.asarray(pk.masked_window_reduce(
+                    jnp.asarray(bits1), jnp.asarray(bits2),
+                    jnp.asarray(vw1), jnp.asarray(vw2), minimize=minimize,
+                ))
+                want = self._xla_reduce(bits1, bits2, vw1, vw2, minimize)
+                np.testing.assert_array_equal(got, want)
+        finally:
+            pk.INTERPRET = old
+
+    def test_match_pick_matches_fallback(self, rng):
+        from pbnet_tpu.ops import pallas_kernels as pk
+
+        bits1, bits2, fw1, fw2 = self._mk(rng)
+        nchunks, chunk, nw = bits1.shape
+        w = nw * 32
+        # few distinct first-orig values -> real multi-hit matches
+        fw1, fw2 = fw1 % 7, fw2 % 7
+        lw1 = np.random.RandomState(1).randint(0, 500, (nchunks, w)).astype(np.int32)
+        lw2 = np.random.RandomState(2).randint(0, 500, (nchunks, w)).astype(np.int32)
+        target = self._xla_reduce(bits1, bits2, fw1, fw2, minimize=False)
+
+        want = np.full((nchunks, chunk), -1, np.int32)
+        for bits, fw, lw in ((bits1, fw1, lw1), (bits2, fw2, lw2)):
+            f = fw.reshape(nchunks, nw, 32)
+            l = lw.reshape(nchunks, nw, 32)
+            for b in range(32):
+                m = (bits >> np.uint32(b)) & 1
+                hit = (m > 0) & (f[:, None, :, b] == target[:, :, None])
+                cand = np.where(hit, l[:, None, :, b], -1)
+                want = np.maximum(want, cand.max(2))
+
+        old = pk.INTERPRET
+        pk.INTERPRET = True
+        try:
+            got = np.asarray(pk.masked_window_match_pick(
+                jnp.asarray(bits1), jnp.asarray(bits2), jnp.asarray(fw1),
+                jnp.asarray(fw2), jnp.asarray(lw1), jnp.asarray(lw2),
+                jnp.asarray(target),
+            ))
+        finally:
+            pk.INTERPRET = old
+        np.testing.assert_array_equal(got, want)
+
+    def test_binary_cluster_pallas_path_matches(self, rng):
+        # end-to-end: the FULL binary_cluster with every Pallas kernel
+        # engaged (neighbor_pack, masked_window_reduce, match_pick,
+        # window_1nn) through the interpreter must reproduce the XLA
+        # fallback bit-for-bit
+        from pbnet_tpu.ops import pallas_kernels as pk
+
+        shifted, orig, sem, batch = make_scene(rng)
+        args = (jnp.asarray(shifted), jnp.asarray(orig), jnp.asarray(sem),
+                jnp.asarray(batch), jnp.ones(len(sem), bool))
+        kw = dict(radius=0.1, min_pts=10, count_mean=jnp.asarray(COUNT_MEAN),
+                  para_f=0.05, cluster_cap=32, band=2048, chunk=128)
+        ref = cl.binary_cluster(*args, **kw)
+        old_i, old_u = pk.INTERPRET, pk.use_pallas
+        pk.INTERPRET = True
+        pk.use_pallas = lambda: True
+        cl.binary_cluster.clear_cache()
+        try:
+            got = cl.binary_cluster(*args, **kw)
+        finally:
+            pk.INTERPRET, pk.use_pallas = old_i, old_u
+            cl.binary_cluster.clear_cache()
+        np.testing.assert_array_equal(np.asarray(got.cluster_id),
+                                      np.asarray(ref.cluster_id))
+        np.testing.assert_array_equal(np.asarray(got.density),
+                                      np.asarray(ref.density))
+        assert int(got.num_clusters) == int(ref.num_clusters)
+        np.testing.assert_allclose(np.asarray(got.centers),
+                                   np.asarray(ref.centers), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got.cluster_sem),
+                                      np.asarray(ref.cluster_sem))
+        assert int(got.band_overflow) == int(ref.band_overflow)
+        assert int(got.nn_overflow) == int(ref.nn_overflow)
