@@ -19,8 +19,14 @@ def main():
     cfg = get_parser(test=True)
     random.seed(cfg.manual_seed)
     np.random.seed(cfg.manual_seed)
-    result = engine.evaluate_pretrained(cfg)
+    timing = {}
+    result = engine.evaluate_pretrained(cfg, timing=timing)
     print(result)
+    # deployment throughput: scenes/s over the whole overlapped eval loop
+    # (the reference computes per-scene wall time but discards it,
+    # /root/reference/eval_map.py:126) — see eval_throughput.py for the
+    # measured synthetic-set figures
+    print(timing)
 
 
 if __name__ == "__main__":

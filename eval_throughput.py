@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Full-eval-loop throughput: engine.evaluate over a mixed-size synthetic
+val set, with scene-size buckets.
+
+This measures the number the deployment actually sees — the reference's
+eval_map.py computes per-scene wall time over the 312-scene val split
+(/root/reference/eval_map.py:126) — including host-side data prep, the
+3-way overlapped loop (prefetch / device forward / metric worker), the
+per-bucket XLA compiles, and the host metric work.  The single-forward
+bench.py headline excludes all of that by design.
+
+Three passes over the same N scenes:
+  1. cold  — includes per-bucket compile time (persistent-cache miss)
+  2. warm  — steady-state throughput with buckets
+  3. single-bucket — every scene padded to the largest bucket, quantifying
+     what the bucket machinery buys on small scenes
+
+Scenes use bench.make_scene geometry (room-like surfaces, 2 cm voxel
+occupancy matching real ScanNet) at three sizes so the collate exercises
+both buckets.  Weights are fresh-init (no trained checkpoint exists in this
+environment); the clustering fixpoint therefore converges in fewer rounds
+than trained content — bench.py's oracle-driven headline covers that, this
+script measures the LOOP.
+
+Prints one JSON line with all three throughputs.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+import pbnet_tpu  # noqa: F401  (persistent compile cache)
+from bench import make_scene
+
+# (count, points-per-scene): small scenes must land in the 0.4x bucket
+# after the x3 TTA fold, large ones in the 1.0x bucket
+SCENE_MIX = ((8, 12_000), (7, 25_000), (5, 45_000))
+
+
+def fabricate_val_set(root):
+    """Write SCENE_MIX scenes in the dataset's npy contract + split lists."""
+    from pbnet_tpu.data.decode_scannet import write_val_gt
+
+    npy = os.path.join(root, "npy")
+    os.makedirs(npy, exist_ok=True)
+    rng = np.random.RandomState(0)
+    names = []
+    for count, n_pts in SCENE_MIX:
+        for _ in range(count):
+            nm = f"scene{len(names):04d}_00"
+            xyz, sem, ins, _ = make_scene(rng, n_pts=n_pts)
+            n = xyz.shape[0]
+            # colors keyed to class, normals up-ish: content realism does not
+            # matter for loop throughput, only sizes do
+            rgb = (sem[:, None] / 20.0 - 0.5) + rng.randn(n, 3) * 0.05
+            nl = np.tile([0.0, 0.0, 1.0], (n, 1))
+            # superpoints: background in ~50-point blocks, objects one each
+            sup = np.where(ins >= 0, ins + n // 50 + 1, np.arange(n) // 50)
+            pre = os.path.join(npy, nm)
+            np.save(pre + "_xyz.npy", xyz.astype(np.float64))
+            np.save(pre + "_rgb.npy", rgb.astype(np.float64))
+            np.save(pre + "_nl.npy", nl.astype(np.float64))
+            np.save(pre + "_sem_label.npy", sem.astype(np.float64))
+            np.save(pre + "_ins_label.npy", ins.astype(np.float64))
+            np.save(pre + "_sup.npy", sup.astype(np.int64))
+            names.append(nm)
+    for split in ("train", "val", "test"):
+        np.savetxt(os.path.join(root, f"scannetv2_{split}.txt"), names, fmt="%s")
+    write_val_gt(npy, names, os.path.join(root, "val_gt"))
+    return names
+
+
+def main():
+    from pbnet_tpu import engine
+    from pbnet_tpu.config import Config, StaticShapes
+    from pbnet_tpu.data.dataset import Dataset
+
+    root = tempfile.mkdtemp(prefix="evaltp_")
+    names = fabricate_val_set(root)
+    print(f"fabricated {len(names)} scenes under {root}", file=sys.stderr)
+
+    # bench.py-style right-sized caps; grid extent covers 3 TTA-rotated 4.5 m
+    # scenes (rotation inflates the bbox to scene-diagonal, 6.4 m = 318 vox).
+    # voxel caps are measured on THIS synthetic mix: its low point density
+    # gives a much flatter stride pyramid than real scans (L1 ~ 67-89% of L0
+    # vs 42% on real surface scans), and the coarse levels barely shrink for
+    # small scenes, so they carry extra headroom for the 0.4x bucket.
+    shapes = StaticShapes(
+        point_cap=147_456,
+        voxel_caps=(122_880, 86_016, 53_248, 20_480, 4_608),
+        cluster_cap=128,
+        local_point_cap=61_440,
+        local_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
+        score_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
+        instance_cap=128,
+        cluster_band=4_096,
+        fg_point_cap=61_440,
+        nn_exact_cap=1_024,
+        grid_extent=(3, 384, 384, 160),
+    )
+    cfg = Config(
+        task="test", data_root=root, batch_size=1, num_works=0, cache=False,
+        shapes=shapes, cluster_epoch=-1, validation=False,
+        logpath=os.path.join(root, "log"), eval_bucket_scales=(0.4, 1.0),
+    )
+    ds = Dataset(cfg)
+    model = engine.build_model(cfg, multi_device=False)
+    sample = ds.val_batch(0)
+    init_model = engine.build_model(cfg, False, shapes=sample.get("shapes"))
+    state, _ = engine.init_state(
+        init_model, cfg, engine.device_batch(sample), cfg.manual_seed
+    )
+
+    def run(tag, c):
+        timing = {}
+        t0 = time.time()
+        engine.evaluate(c, model, state, ds, epoch=0, test_mode=True,
+                        timing=timing)
+        timing["total_s"] = round(time.time() - t0, 2)
+        print(f"{tag}: {timing}", file=sys.stderr)
+        return timing
+
+    cold = run("cold (buckets, incl. compiles)", cfg)
+    warm = run("warm (buckets)", cfg)
+    single = run("single-bucket (all scenes padded to max)",
+                 cfg.replace(eval_bucket_scales=(1.0,)))
+
+    print(json.dumps({
+        "metric": "eval_loop_scenes_per_sec",
+        "scenes": len(names),
+        "cold_scenes_per_sec": cold.get("scenes_per_sec"),
+        "cold_compile_s": cold.get("bucket_compile_s"),
+        "warm_scenes_per_sec": warm.get("scenes_per_sec"),
+        "single_bucket_scenes_per_sec": single.get("scenes_per_sec"),
+        "bucket_scene_counts": warm.get("bucket_scene_counts"),
+    }), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

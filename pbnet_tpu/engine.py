@@ -242,7 +242,8 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
 
 
 def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None,
-             max_scenes: int | None = None, test_mode: bool = False):
+             max_scenes: int | None = None, test_mode: bool = False,
+             timing: dict | None = None):
     """Validation: semantic mIoU + (past cluster_epoch) instance AP
     (/root/reference/train.py:123-304, eval_map.py:40-158).
 
@@ -268,7 +269,8 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     fwd_cache = {}
 
     def fwd(params, batch_stats, dev, shapes):
-        if shapes not in fwd_cache:
+        new = shapes not in fwd_cache
+        if new:
             m2 = model if shapes == model.shapes else build_model(
                 cfg, multi_device=False, shapes=shapes
             )
@@ -279,7 +281,16 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
                     train=False,
                 )
             )
-        return fwd_cache[shapes](params, batch_stats, dev)
+        t0 = time.time()
+        out = fwd_cache[shapes](params, batch_stats, dev)
+        if timing is not None:
+            if new:  # the first dispatch per bucket blocks on the XLA compile
+                timing.setdefault("bucket_compile_s", {})[shapes.point_cap] = (
+                    round(time.time() - t0, 1)
+                )
+            h = timing.setdefault("bucket_scene_counts", {})
+            h[shapes.point_cap] = h.get(shapes.point_cap, 0) + 1
+        return out
 
     all_acc = metrics.AverageMeter()
     tp_acc = metrics.AverageMeter()
@@ -351,6 +362,8 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     # live on device.  Single worker => post_scene runs serially, so its
     # accumulator writes need no lock.
     loader = dataset.val_loader(max_scenes=n_scenes)
+    t_loop = time.time()
+    n_done = 0
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None
         for i, batch in enumerate(loader):
@@ -360,8 +373,22 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
             if pending is not None:
                 pending.result()
             pending = pool.submit(post_scene, i, batch, ret)
+            n_done += 1
         if pending is not None:
             pending.result()
+    if timing is not None:
+        wall = time.time() - t_loop
+        timing["wall_s"] = round(wall, 2)
+        timing["scenes"] = n_done
+        compile_s = sum(timing.get("bucket_compile_s", {}).values())
+        timing["compile_s"] = round(compile_s, 1)
+        if n_done:
+            timing["scenes_per_sec"] = round(n_done / wall, 3)
+            # steady-state throughput: exclude the one-time bucket compiles
+            # (amortized by the persistent XLA cache across runs)
+            timing["scenes_per_sec_warm"] = round(
+                n_done / max(wall - compile_s, 1e-9), 3
+            )
 
     iou_class = inter_m / (union_m + 1e-10)
     acc_class = inter_m / (target_m + 1e-10)
@@ -393,7 +420,7 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     return result
 
 
-def evaluate_pretrained(cfg: Config, max_scenes=None):
+def evaluate_pretrained(cfg: Config, max_scenes=None, timing: dict | None = None):
     """Standalone eval with auto-resumed checkpoint (eval_map.py driver)."""
     logger = log_tools.get_logger(cfg)
     dataset = Dataset(cfg)
@@ -412,7 +439,7 @@ def evaluate_pretrained(cfg: Config, max_scenes=None):
         f"Restore from {ckfile}" if ckfile else f"Start from epoch {start_epoch}"
     )
     return evaluate(cfg, model, state, dataset, epoch=start_epoch, logger=logger,
-                    max_scenes=max_scenes, test_mode=True)
+                    max_scenes=max_scenes, test_mode=True, timing=timing)
 
 
 def write_submission(result_dir: str, scene_name: str, pred_info: dict):

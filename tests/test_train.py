@@ -162,5 +162,12 @@ class TestEngine:
         # standalone eval test would pay the dataset + model compile again)
         ds = Dataset(cfg)
         model = engine.build_model(cfg, multi_device=False)
-        res = engine.evaluate(cfg, model, state, ds, epoch=1, max_scenes=1)
+        timing = {}
+        res = engine.evaluate(cfg, model, state, ds, epoch=1, max_scenes=1,
+                              timing=timing)
         assert 0.0 <= res["mIoU"] <= 1.0
+        # throughput observability (eval_throughput.py's contract)
+        assert timing["scenes"] == 1 and timing["wall_s"] > 0
+        assert sum(timing["bucket_scene_counts"].values()) == 1
+        assert len(timing["bucket_compile_s"]) == 1
+        assert timing["scenes_per_sec_warm"] >= timing["scenes_per_sec"]
