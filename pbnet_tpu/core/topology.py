@@ -567,7 +567,7 @@ def build_pid_unet_topology(
     main_topo: "UNetTopology",
     pid_batch: jnp.ndarray,
     pid_cap: int,
-    num_levels: int = 5,
+    num_levels: int | None = None,
     stem_k: int = 5,
     parts: str = "all",
 ) -> UNetTopology:
@@ -584,6 +584,8 @@ def build_pid_unet_topology(
     probe, and local pyramid levels are subsets of main pyramid levels
     (floor-division of a subset is a subset).
     """
+    if num_levels is None:
+        num_levels = len(caps)
     levels = [level0]
     for l in range(1, num_levels):
         levels.append(downsample(levels[-1], 2, caps[l]))
@@ -792,7 +794,7 @@ class UNetTopology:
 def build_unet_topology(
     level0: SparseLevel,
     caps: Sequence[int],
-    num_levels: int = 5,
+    num_levels: int | None = None,
     stem_k: int = 5,
     extent: "tuple | None" = None,
     grids=None,
@@ -814,6 +816,8 @@ def build_unet_topology(
     "pyramid" stops after levels+grids, then cumulatively "stem", "k3",
     "down"; "all" (production) also builds the transpose (up) maps.
     """
+    if num_levels is None:
+        num_levels = len(caps)
     levels = [level0]
     for l in range(1, num_levels):
         levels.append(downsample(levels[-1], 2, caps[l]))

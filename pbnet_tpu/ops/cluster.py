@@ -149,6 +149,14 @@ def binary_cluster(
     prop_iters: int = 10,
     nn_exact_cap: int | None = None,
 ) -> ClusterResult:
+    # Non-differentiable by contract: the reference cluster op declares
+    # backward=None (/root/reference/lib/PB_lib/torch_io/pbnet_ops.py:82) and
+    # detaches its inputs (/root/reference/network/PBNet.py:176).  Cutting the
+    # autodiff graph HERE (not at call sites) guarantees value_and_grad never
+    # tries to linearize the Pallas kernels below, which have no JVP rule.
+    shifted = jax.lax.stop_gradient(shifted)
+    orig = jax.lax.stop_gradient(orig)
+    count_mean = jax.lax.stop_gradient(count_mean)
     n = shifted.shape[0]
     # group encodes (sem, batch) so cluster ordering matches the reference's
     # class-outer / batch-inner loop (/root/reference/network/PBNet.py:151,

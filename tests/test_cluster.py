@@ -12,6 +12,7 @@ Oracle mirrors /root/reference/lib/PB_lib/src/pbnet/binary.cu:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pbnet_tpu.ops import cluster as cl
@@ -258,6 +259,45 @@ class TestPallasKernels:
         finally:
             pk.INTERPRET = old
         np.testing.assert_array_equal(got, want)
+
+    def test_value_and_grad_through_pallas_cluster(self, rng):
+        # Regression (round-3 bench): the train step died with
+        # 'Linearization failed to produce known values for all output
+        # primals' because value_and_grad linearized through pallas_call.
+        # binary_cluster now cuts gradients at its boundary (the reference
+        # op is backward=None), so grad must succeed with the Pallas path
+        # active and the cluster contribution must be exactly zero.
+        from pbnet_tpu.ops import pallas_kernels as pk
+
+        shifted, orig, sem, batch = make_scene(rng)
+        args = (jnp.asarray(orig), jnp.asarray(sem), jnp.asarray(batch),
+                jnp.ones(len(sem), bool))
+        kw = dict(radius=0.1, min_pts=10, count_mean=jnp.asarray(COUNT_MEAN),
+                  para_f=0.05, cluster_cap=32, band=2048, chunk=128)
+        sh = jnp.asarray(shifted)
+
+        def loss(w):
+            # param-dependent float feeds the cluster (as the model's
+            # xyz + offset_pred does); a separate differentiable path
+            # keeps the loss non-trivial
+            moved = sh * w
+            res = cl.binary_cluster(moved, *args, **kw)
+            return jnp.sum(res.centers) + jnp.sum(moved * moved)
+
+        old_i, old_u = pk.INTERPRET, pk.use_pallas
+        pk.INTERPRET = True
+        pk.use_pallas = lambda: True
+        cl.binary_cluster.clear_cache()
+        try:
+            val, g = jax.value_and_grad(loss)(jnp.float32(1.0))
+        finally:
+            pk.INTERPRET, pk.use_pallas = old_i, old_u
+            cl.binary_cluster.clear_cache()
+        assert np.isfinite(float(val))
+        # d(sum(moved^2))/dw at w=1 is 2*sum(sh^2); the cluster term adds 0
+        np.testing.assert_allclose(
+            float(g), 2.0 * float(jnp.sum(sh * sh)), rtol=1e-4
+        )
 
     def test_binary_cluster_pallas_path_matches(self, rng):
         # end-to-end: the FULL binary_cluster with every Pallas kernel
