@@ -47,17 +47,33 @@ def main():
     assert len(jax.devices()) == world, len(jax.devices())
     assert len(jax.local_devices()) == 1
 
+    # Create the Gloo clique NOW, while rank skew is a few seconds (the only
+    # compile so far is this trivial psum).  The train step's collectives
+    # reuse the established context, so later compile skew between ranks
+    # cannot blow Gloo's 30 s context-rendezvous deadline.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("pbnet_multihost_warmup")
+
     import __graft_entry__ as ge
     from pbnet_tpu import engine
     from pbnet_tpu.parallel import mesh as mesh_lib
     from pbnet_tpu.parallel.train_step import TrainState, make_train_step
 
-    cfg = cfg0.replace(shapes=ge._SHAPES, batch_size=1, sync_bn=True)
+    # Mini_Unet on 2-level shapes: the smallest model that still exercises
+    # every collective (grad pmean + SyncBN psum).  With the full 34C archs
+    # the two ranks compile serially on a 1-core host and the faster rank's
+    # first collective blows Gloo's 30 s GetKeyValue deadline.
+    cfg = cfg0.replace(
+        shapes=ge._DRYRUN_SHAPES, batch_size=1, sync_bn=True,
+        backbone_arch="Mini_Unet", dunet_arch="Mini_Unet",
+        score_arch="Mini_Unet",
+    )
     m = mesh_lib.make_mesh()  # all GLOBAL devices (one per process)
     assert mesh_lib.local_device_count(m) == 1
 
     model = engine.build_model(cfg, multi_device=True)
-    batch = ge._synthetic_batch(ge._SHAPES, np.random.RandomState(rank))
+    batch = ge._synthetic_batch(ge._DRYRUN_SHAPES, np.random.RandomState(rank))
     # identical seed -> identical init on every rank (the reference broadcasts
     # DDP buffers instead)
     state, tx = engine.init_state(model, cfg, batch, seed=0)
