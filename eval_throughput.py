@@ -10,7 +10,9 @@ per-bucket XLA compiles, and the host metric work.  The single-forward
 bench.py headline excludes all of that by design.
 
 Three passes over the same N scenes:
-  1. cold  — includes per-bucket compile time (persistent-cache miss)
+  1. first-dispatch — includes per-bucket blocking compile time (NOTE: the
+     persistent XLA cache may hit on a machine that ran the suite before,
+     so this bounds, rather than equals, a true cold compile)
   2. warm  — steady-state throughput with buckets
   3. single-bucket — every scene padded to the largest bucket, quantifying
      what the bucket machinery buys on small scenes
@@ -116,15 +118,18 @@ def main():
         init_model, cfg, engine.device_batch(sample), cfg.manual_seed
     )
 
-    def run(tag, c, retries=2):
+    def run(tag, c, dset=None, retries=2):
         # the axon relay occasionally drops long remote-compile responses;
-        # a retry resumes from the persistent XLA cache
+        # a retry resumes from the persistent XLA cache.  Bucket tagging
+        # happens inside Dataset._collate from ITS cfg, so a pass with
+        # different eval_bucket_scales must bring its own Dataset.
+        dset = ds if dset is None else dset
         for attempt in range(retries + 1):
             timing = {}
             t0 = time.time()
             try:
-                engine.evaluate(c, model, state, ds, epoch=0, test_mode=True,
-                                timing=timing)
+                engine.evaluate(c, model, state, dset, epoch=0,
+                                test_mode=True, timing=timing)
             except Exception as e:
                 print(f"{tag}: attempt {attempt} failed: {e!r}",
                       file=sys.stderr)
@@ -136,19 +141,21 @@ def main():
             print(f"{tag}: {timing}", file=sys.stderr)
             return timing
 
-    cold = run("cold (buckets, incl. compiles)", cfg)
+    first = run("first-dispatch (buckets, incl. blocking compiles)", cfg)
     warm = run("warm (buckets)", cfg)
-    single = run("single-bucket (all scenes padded to max)",
-                 cfg.replace(eval_bucket_scales=(1.0,)))
+    cfg1 = cfg.replace(eval_bucket_scales=(1.0,))
+    single = run("single-bucket (all scenes padded to max)", cfg1,
+                 dset=Dataset(cfg1))
 
     print(json.dumps({
         "metric": "eval_loop_scenes_per_sec",
         "scenes": len(names),
-        "cold_scenes_per_sec": cold.get("scenes_per_sec"),
-        "cold_compile_s": cold.get("bucket_compile_s"),
+        "first_dispatch_scenes_per_sec": first.get("scenes_per_sec"),
+        "first_dispatch_compile_s": first.get("bucket_compile_s"),
         "warm_scenes_per_sec": warm.get("scenes_per_sec"),
         "single_bucket_scenes_per_sec": single.get("scenes_per_sec"),
         "bucket_scene_counts": warm.get("bucket_scene_counts"),
+        "single_bucket_scene_counts": single.get("bucket_scene_counts"),
     }), flush=True)
     shutil.rmtree(root, ignore_errors=True)
 

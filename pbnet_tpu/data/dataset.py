@@ -26,6 +26,17 @@ from . import augment
 from .decode_scannet import shm_load
 
 
+def batch_seed(manual_seed: int, epoch: int, i: int) -> int:
+    """Collision-free per-(seed, epoch, iter) RNG seed for one train batch.
+
+    The former ``seed*1000 + epoch*7 + i`` collided across epochs (epoch+1
+    replayed epoch's streams shifted by 7 iters), repeating augmentation
+    streams.  With i < 100_003 (ScanNet epochs are ~1200 batches) the
+    (epoch, i) map below is injective for a fixed seed.
+    """
+    return (manual_seed * 1_000_003 + epoch * 100_003 + i) % (2**32)
+
+
 class Dataset:
     def __init__(self, cfg: Config, npy_dir: Optional[str] = None):
         self.cfg = cfg
@@ -261,18 +272,19 @@ class Dataset:
                      num_workers: Optional[int] = None) -> Iterator[dict]:
         batches = self.train_epoch_ids(epoch, rank, world)
         workers = self.cfg.num_works if num_workers is None else num_workers
+
+        def batch_rng(i):
+            return np.random.RandomState(
+                batch_seed(self.cfg.manual_seed, epoch, i)
+            )
+
         if workers <= 1:
             for i, ids in enumerate(batches):
-                yield self.train_batch(
-                    ids, np.random.RandomState(self.cfg.manual_seed * 1000 + epoch * 7 + i)
-                )
+                yield self.train_batch(ids, batch_rng(i))
             return
         with cf.ThreadPoolExecutor(workers) as ex:
             futs = [
-                ex.submit(
-                    self.train_batch, ids,
-                    np.random.RandomState(self.cfg.manual_seed * 1000 + epoch * 7 + i),
-                )
+                ex.submit(self.train_batch, ids, batch_rng(i))
                 for i, ids in enumerate(batches)
             ]
             for f in futs:

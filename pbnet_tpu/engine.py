@@ -201,6 +201,15 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
             )
             if max_iters and total_iters >= max_iters:
                 break
+        if buf:
+            # drop-last semantics across the device dimension: a partial
+            # device-group at epoch end cannot form a full mesh step.
+            # Counted explicitly — never silent.
+            logger.warning(
+                f"epoch: {epoch}/{cfg.epochs}: dropped {len(buf)} leftover "
+                f"batch(es) (< {ldev} local devices; drop-last across the "
+                f"device dimension)"
+            )
         if not am:
             # loader yielded fewer batches than local devices: no step ran
             logger.warning(
@@ -267,6 +276,10 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     # with_labels=True also yields the mask-accuracy meters of the
     # reference's in-train eval (/root/reference/train.py:152-168).
     fwd_cache = {}
+    # timing keys must distinguish buckets even when StaticShapes.scaled
+    # rounds two close scales to the same point_cap — label each DISTINCT
+    # shapes object uniquely (primes on collision)
+    bucket_key = {}
 
     def fwd(params, batch_stats, dev, shapes):
         new = shapes not in fwd_cache
@@ -281,15 +294,20 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
                     train=False,
                 )
             )
+            k = f"p{shapes.point_cap}/v{shapes.voxel_caps[0]}"
+            while k in bucket_key.values():
+                k += "'"
+            bucket_key[shapes] = k
         t0 = time.time()
         out = fwd_cache[shapes](params, batch_stats, dev)
         if timing is not None:
+            bk = bucket_key[shapes]
             if new:  # the first dispatch per bucket blocks on the XLA compile
-                timing.setdefault("bucket_compile_s", {})[shapes.point_cap] = (
+                timing.setdefault("bucket_compile_s", {})[bk] = (
                     round(time.time() - t0, 1)
                 )
             h = timing.setdefault("bucket_scene_counts", {})
-            h[shapes.point_cap] = h.get(shapes.point_cap, 0) + 1
+            h[bk] = h.get(bk, 0) + 1
         return out
 
     all_acc = metrics.AverageMeter()

@@ -336,3 +336,16 @@ class TestDataset:
         assert not all(
             np.array_equal(x, y) for x, y in zip(a, c)
         ) or len(a) <= 1
+
+    def test_batch_rng_streams_distinct_across_epochs(self):
+        # Regression: the old seed formula seed*1000 + epoch*7 + i replayed
+        # epoch e's augmentation streams in epoch e+1 shifted by 7 iters.
+        # The per-(epoch, iter) seeds must all be distinct.
+        from pbnet_tpu.data.dataset import batch_seed
+
+        seeds = {
+            batch_seed(123, epoch, i): (epoch, i)
+            for epoch in range(520)
+            for i in range(40)
+        }
+        assert len(seeds) == 520 * 40
