@@ -15,11 +15,15 @@ from pbnet_tpu.models.pbnet import PBNet
 
 TINY = StaticShapes(
     point_cap=2048,
-    voxel_caps=(1024, 512, 256, 128, 64),
+    # 2 pyramid levels matching the Mini_Unet fixture archs below: the
+    # deep-pyramid paths are covered by test_nn (UNet14A/34C) and test_core
+    # (5-level topologies); cutting 3 levels x 3 UNets here halves the
+    # dominant XLA:CPU compile of this module's fixtures
+    voxel_caps=(1024, 512),
     cluster_cap=16,
     local_point_cap=4096,
-    local_voxel_caps=(1024, 512, 256, 128, 64),
-    score_voxel_caps=(1024, 512, 256, 128, 64),
+    local_voxel_caps=(1024, 512),
+    score_voxel_caps=(1024, 512),
     instance_cap=8,
     cluster_band=1024,
     # exercise the fg-compaction + capped exact-1NN clustering path
@@ -94,11 +98,11 @@ def synthetic_batch(rng, n_pts=900, pad=2048):
 def model_and_vars():
     rng = np.random.RandomState(7)
     batch, n = synthetic_batch(rng)
-    # smallest family member: same stage-1/2/3 code paths with ~3x less
+    # smallest family member: same stage-1/2/3 code paths with far less
     # XLA:CPU compile; the real 34C layout stays pinned by test_convert's
     # golden checkpoint-parity tests
-    model = PBNet(shapes=TINY, backbone_arch="MinkUNet14A",
-                  score_arch="MinkUNet14A")
+    model = PBNet(shapes=TINY, backbone_arch="Mini_Unet",
+                  dunet_arch="Mini_Unet", score_arch="Mini_Unet")
     variables = jax.jit(
         lambda key, b: model.init(
             key, b, with_instances=True, with_labels=True, train=False

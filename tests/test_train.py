@@ -19,11 +19,14 @@ from tests.test_data import fabricate_scene
 from pbnet_tpu.data.dataset import Dataset
 from pbnet_tpu.data.decode_scannet import decode_scene, write_val_gt
 
+# 2 pyramid levels matching the Mini_Unet archs in mini_cfg: deep-pyramid
+# coverage lives in test_nn/test_core; the engine/train-step machinery under
+# test here is level-count-agnostic and the XLA:CPU compile dominates runtime
 TINY = StaticShapes(
-    point_cap=2048, voxel_caps=(1024, 512, 256, 128, 64),
+    point_cap=2048, voxel_caps=(1024, 512),
     cluster_cap=16, local_point_cap=2048,
-    local_voxel_caps=(512, 256, 128, 64, 32),
-    score_voxel_caps=(512, 256, 128, 64, 32),
+    local_voxel_caps=(512, 256),
+    score_voxel_caps=(512, 256),
     instance_cap=16, cluster_band=512,
 )
 
@@ -51,9 +54,10 @@ def mini_cfg(tmp_path, **kw):
         num_devices=1,
         cluster_epoch=1000, validation=False,
         logpath=str(tmp_path / "log"),
-        # smallest family member: same code paths (all levels, BasicBlock,
-        # stem, heads), ~3x less XLA:CPU compile than the 34C default
-        backbone_arch="MinkUNet14A", score_arch="MinkUNet14A",
+        # smallest family member: same code paths (stem, down/up maps,
+        # blocks, heads) with far less XLA:CPU compile than the 34C default
+        backbone_arch="Mini_Unet", dunet_arch="Mini_Unet",
+        score_arch="Mini_Unet",
     )
     base.update(kw)
     return Config(**base)
