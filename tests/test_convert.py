@@ -10,6 +10,24 @@ import pytest
 from pbnet_tpu.tools import convert_checkpoint as cc
 
 
+def shapes5():
+    """Full-depth (5-level) tiny shapes: the default (34C/14A/34C) archs need
+    5 pyramid levels, and converter coverage / the round-2 goldens depend on
+    the full three-UNet tree.  test_pbnet's TINY is 2-level for compile cost,
+    so this module carries its own variant (same caps as the round-2 TINY the
+    goldens were generated against)."""
+    import dataclasses
+
+    from tests.test_pbnet import TINY
+
+    return dataclasses.replace(
+        TINY,
+        voxel_caps=(1024, 512, 256, 128, 64),
+        local_voxel_caps=(1024, 512, 256, 128, 64),
+        score_voxel_caps=(1024, 512, 256, 128, 64),
+    )
+
+
 class TestOffsetPermutation:
     def test_identity_for_z_fastest(self):
         for k in (2, 3, 5):
@@ -76,13 +94,13 @@ def synth_state_dict(variables):
 
 class TestConversion:
     def test_roundtrip_covers_all_params(self):
-        from tests.test_pbnet import TINY, synthetic_batch
+        from tests.test_pbnet import synthetic_batch
 
         from pbnet_tpu.models.pbnet import PBNet
 
         rng = np.random.RandomState(3)
         batch, _ = synthetic_batch(rng)
-        model = PBNet(shapes=TINY)
+        model = PBNet(shapes=shapes5())
         variables = jax.jit(
             lambda key, b: model.init(
                 key, b, with_instances=True, with_labels=True, train=False
@@ -131,13 +149,13 @@ class TestReferencePthGolden:
     head wiring drift."""
 
     def _setup(self):
-        from tests.test_pbnet import TINY, synthetic_batch
+        from tests.test_pbnet import synthetic_batch
 
         from pbnet_tpu.models.pbnet import PBNet
 
         rng = np.random.RandomState(3)
         batch, _ = synthetic_batch(rng)
-        model = PBNet(shapes=TINY)
+        model = PBNet(shapes=shapes5())
         variables = jax.jit(
             lambda key, b: model.init(
                 key, b, with_instances=True, with_labels=True, train=False

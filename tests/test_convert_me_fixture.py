@@ -86,11 +86,13 @@ def make_me_fragment(rng):
 
 class TestMeFixture:
     def test_fragment_lands_on_model_tree(self, rng):
-        from tests.test_pbnet import TINY, synthetic_batch
+        from tests.test_convert import shapes5
+        from tests.test_pbnet import synthetic_batch
         from pbnet_tpu.models.pbnet import PBNet
 
         batch, _ = synthetic_batch(np.random.RandomState(3))
-        model = PBNet(shapes=TINY)
+        # full-depth shapes: default archs need a 5-level pyramid
+        model = PBNet(shapes=shapes5())
         variables = jax.jit(
             lambda key, b: model.init(
                 key, b, with_instances=True, with_labels=True, train=False
