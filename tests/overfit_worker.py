@@ -94,8 +94,37 @@ def fabricate_npy_scene(npy_dir, name, rng, n_floor=500, n_chair=260):
     np.save(pre + "_sup.npy", np.concatenate(sup).astype(np.int64))
 
 
+def view_batch(ds, idx, views, full_bucket=False):
+    """A collated batch of the scene rendered at the given TTA view indices
+    (mirrors Dataset.val_batch, which uses views (0, 1, 2)).  full_bucket
+    pads to cfg.shapes (the train step's compiled shapes)."""
+    from pbnet_tpu.data import augment
+
+    fn = ds.val_file_list[idx]
+    s = ds._load_scene(fn, with_sup=True)
+    s, keep, orig_n = ds._fit_eval_scene(s)
+    rng = np.random.RandomState(0)
+    scenes = []
+    for i in views:
+        xyz, rgb, nl = augment.data_augment(
+            s["xyz"].copy(), s["rgb"].copy(), s["nl"], i, rng,
+        )
+        ins = augment.compact_instance_labels(s["ins"].copy())
+        scenes.append((fn, xyz, rgb, nl, s["sem"].copy(), ins))
+    batch = ds._collate(
+        scenes, buckets=None if full_bucket else ds.cfg.eval_buckets()
+    )
+    batch["sup"] = s["sup"]
+    batch["fn"] = fn
+    batch["keep_idx"] = keep
+    batch["orig_num_points"] = orig_n
+    batch["dropped_sem"] = None
+    return batch
+
+
 def main():
     outdir = sys.argv[1]
+    heldout = "--heldout" in sys.argv[2:]
     from pbnet_tpu import engine
     from pbnet_tpu.config import Config, StaticShapes
     from pbnet_tpu.data.dataset import Dataset
@@ -139,7 +168,18 @@ def main():
     # are not rotation-equivariant) — training on other views leaves eval
     # offsets wrong and no clusters form.  Memorizing the eval views is the
     # honest machinery proof available without real data.
-    raw = [ds.val_batch(i) for i in range(2)]
+    #
+    # --heldout (round-3 VERDICT item 8) upgrades memorization to transfer:
+    # train on TTA views 0-1 only, evaluate on view 2 (a rotation the net
+    # never saw).  Eval batches stack view 2 three times so the TTA fold
+    # (src % n3) unions identical copies — AP then measures view-2 quality
+    # alone.  The pass bar is lower than the memorization run's: offsets
+    # must generalize across a 2pi/3 rotation from two examples.
+    if heldout:
+        raw = [view_batch(ds, i, (0, 1), full_bucket=True) for i in range(2)]
+        ds.val_batch = lambda i: view_batch(ds, i, (2, 2, 2))
+    else:
+        raw = [ds.val_batch(i) for i in range(2)]
     # the eval collate must have chosen the FULL bucket (== cfg.shapes), so
     # the arrays match the training model's static shapes
     assert all(b["shapes"] == cfg.shapes for b in raw), [
@@ -166,6 +206,7 @@ def main():
     hist = {"mask_loss": [], "score_loss": [], "loss": [],
             "semantic_loss": []}
     ap25 = 0.0
+    ap_target = 0.5 if heldout else 0.9
     result = {}
     for round_i in range(3):
         for it in range(40):
@@ -183,7 +224,7 @@ def main():
         result = dict(res)
         print(f"round {round_i}: AP25={ap25:.3f} ({time.time()-t0:.0f}s)",
               flush=True)
-        if ap25 >= 0.9:
+        if ap25 >= ap_target:
             break
     result["sem_loss_final"] = float(np.mean(hist["semantic_loss"][-5:]))
 

@@ -37,3 +37,24 @@ def test_overfit_two_scenes_to_ap(tmp_path):
     assert r["score_loss_last"] < r["score_loss_first"], r
     assert r.get("AP25", 0.0) >= 0.9, r
     assert r.get("mAP", 0.0) > 0.0, r
+
+
+@pytest.mark.slow
+def test_heldout_view_transfer(tmp_path):
+    """Train on TTA views 0-1 only, evaluate AP on the never-seen view 2
+    (round-3 VERDICT item 8): upgrades the overfit proof from memorization
+    to (partial) generalization across a 2pi/3 scene rotation.  The bar is
+    lower than the memorization run's 0.9 — offsets must transfer from two
+    rotated examples."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, WORKER, str(tmp_path), "--heldout"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=2400,
+    )
+    assert proc.returncode == 0, f"worker failed:\n{proc.stdout[-6000:]}"
+    with open(tmp_path / "result.json") as f:
+        r = json.load(f)
+    assert r["sem_loss_after_bb"] < 1.0, r
+    assert r.get("AP25", 0.0) >= 0.5, r
