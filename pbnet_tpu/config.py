@@ -49,6 +49,17 @@ class StaticShapes:
     # dense-grid lookup extent for the backbone topology (B, X, Y, Z) in
     # stride-1 voxel units; None falls back to binary search
     grid_extent: Optional[Tuple[int, int, int, int]] = (4, 512, 512, 256)
+    # banded one-hot MXU convs (nn/onehot_conv.py): output-tile rows and the
+    # per-level k=3 band spans (0 = keep the gather path at that level; down/
+    # up maps derive 2x spans).  Spans bound the input-rank spread of one
+    # tile's kernel-map entries — sized ~1.5x the worst spread measured on
+    # real scenes; overruns are counted (plan_overflow), never silent.
+    onehot_tm: int = 256
+    onehot_spans: Optional[Tuple[int, ...]] = None
+    # same, for the derived local-scene topology (D_Unet/ScoreNet); local
+    # voxels sort by (proposal, key), so bands stay contiguous across pid
+    # seams — spans measured separately from the main topology's
+    onehot_spans_local: Optional[Tuple[int, ...]] = None
 
     def scaled(self, f: float) -> "StaticShapes":
         """A size bucket: every point/voxel capacity scaled by ``f`` (rounded

@@ -789,6 +789,13 @@ class UNetTopology:
     # () int32 diagnostics: voxels beyond level caps / outside grid extents
     level_overflow: jnp.ndarray = 0
     grid_overflow: jnp.ndarray = 0
+    # banded one-hot conv plans (nn/onehot_conv.attach_plans); entries are
+    # OnehotPlan or None, aligned with k3_maps/down_maps/up_maps
+    stem_plan: "object" = None
+    k3_plans: tuple = ()
+    down_plans: tuple = ()
+    up_plans: tuple = ()
+    plan_overflow: jnp.ndarray = 0  # () int32 map entries outside their band
 
 
 def build_unet_topology(

@@ -319,7 +319,8 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     def post_scene(i, batch, ret):
         """Host-side per-scene metric work (runs on the overlap worker)."""
         n = batch["num_points"]
-        ov = int(ret.get("overflow_vox", 0)) + int(ret.get("overflow_grid", 0))
+        ov = (int(ret.get("overflow_vox", 0)) + int(ret.get("overflow_grid", 0))
+              + int(ret.get("overflow_band", 0)))
         if "overflow" in ret:
             ov += sum(int(v) for v in ret["overflow"].values())
         if ov:

@@ -107,7 +107,7 @@ def model_fn(ret, batch, cfg_like, with_instances: bool):
     }
     # capacity-overrun diagnostics: visible in scalars.jsonl, asserted zero in
     # the e2e tests (the model promises no silent work-dropping)
-    for k in ("overflow_vox", "overflow_grid"):
+    for k in ("overflow_vox", "overflow_grid", "overflow_band"):
         if k in ret:
             aux[k] = ret[k].astype(jnp.float32)
     if with_instances and "overflow" in ret:

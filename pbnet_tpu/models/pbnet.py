@@ -30,7 +30,7 @@ from ..config import StaticShapes
 from ..core import coords as ck
 from ..core import quantize as qz
 from ..core import topology as tp
-from ..nn import minkunet, sparse_ops
+from ..nn import minkunet, onehot_conv, sparse_ops
 from ..nn.modules import MLPHead, SparseLinear
 from ..ops import cluster as cluster_ops
 
@@ -95,6 +95,9 @@ class PBNet(nn.Module):
         topo = tp.build_unet_topology(
             level0, list(sh.voxel_caps), extent=sh.grid_extent
         )
+        if sh.onehot_spans and not train:
+            # banded one-hot MXU convs (eval-only: the kernel has no VJP)
+            topo = onehot_conv.attach_plans(topo, sh.onehot_tm, sh.onehot_spans)
         point_feat_v = self.MEUnet(topo, feats, train)  # (V, 32)
         v0 = topo.levels[0].valid
         sem_score_v = self.linear_sem(point_feat_v, v0, train)  # (V, 20)
@@ -131,6 +134,7 @@ class PBNet(nn.Module):
             ) + topo.level_overflow,
             "overflow_grid": topo.grid_overflow
             + (grid0.overflow if grid0 is not None else jnp.int32(0)),
+            "overflow_band": jnp.int32(0) + topo.plan_overflow,
             "point_feat_p": point_feat_p,
             "sem_pred_score_p": sem_score_p,
             "sem_soft_p": sem_soft_p,
@@ -365,6 +369,10 @@ class PBNet(nn.Module):
             return {"cluster": res, "topo2_maps": tuple(keep),
                     "feats2": feats2}
         topo2 = build_topo2()
+        if sh.onehot_spans_local and not train:
+            topo2 = onehot_conv.attach_plans(
+                topo2, sh.onehot_tm, sh.onehot_spans_local
+            )
         d_feat = self.D_Unet(topo2, feats2, train)
         mask_v = self.linear_binary(d_feat, topo2.levels[0].valid, train)[:, 0]
         p2v2 = q2["point2voxel"]
@@ -488,6 +496,8 @@ class PBNet(nn.Module):
             "local_vox": jnp.maximum(q2["count"] - sh.local_voxel_caps[0], 0)
             + topo2.level_overflow,
             "local_grid": topo2.grid_overflow,
+            # topo3 derives from topo2 (same maps/plans): count once
+            "conv_band": jnp.int32(0) + topo2.plan_overflow,
             "score_vox": score_overflow,
             "score_grid": topo3.grid_overflow,
         }
@@ -534,6 +544,7 @@ class PBNet(nn.Module):
             "point_ok": bb["point_ok"],
             "overflow_vox": bb["overflow_vox"],
             "overflow_grid": bb["overflow_grid"],
+            "overflow_band": bb["overflow_band"],
         }
         if with_instances:
             ret.update(self.instance_stage(batch, bb, with_labels, train))

@@ -79,6 +79,14 @@ def _pair_plan(idx, dims, fine, mode):
         dims_in=dims[fine + 1], dims_out=dims[fine])
 
 
+def _oplan(plans, i, train):
+    """Banded one-hot plan for map ``i`` — eval-only (the Pallas kernel has
+    no VJP; training keeps the gather-GEMM custom-VJP path)."""
+    if train or not plans or i >= len(plans):
+        return None
+    return plans[i]
+
+
 class MinkUNetBase(nn.Module):
     out_channels: int
     block: str = "basic"
@@ -92,13 +100,13 @@ class MinkUNetBase(nn.Module):
     remat: bool = True
 
     def _blocks(self, n, planes, feats, kmap, valid, train, name,
-                dense_plan=None):
+                dense_plan=None, plan=None):
         blk = BLOCKS[self.block]
         if self.remat:
             blk = nn.remat(blk, static_argnums=(4,))
         for i in range(n):
             feats = blk(planes, axis_name=self.axis_name, name=f"{name}_{i}")(
-                feats, kmap, valid, train, dense_plan
+                feats, kmap, valid, train, dense_plan, plan
             )
         return feats
 
@@ -122,13 +130,15 @@ class MinkUNetBase(nn.Module):
         for s in range(4):
             x = SparseConv(ch, 8, name=f"conv{s+1}s2")(
                 x, topo.down_maps[s], v[s + 1], kmap_bwd=topo.up_maps[s],
-                dense_plan=_pair_plan(didx, ddims, s, "down"))
+                dense_plan=_pair_plan(didx, ddims, s, "down"),
+                plan=_oplan(topo.down_plans, s, train))
             x = MaskedBatchNorm(axis_name=ax, name=f"bn{s+1}")(x, v[s + 1], train)
             x = relu(x)
             x = self._blocks(
                 self.layers[s], self.planes[s], x, topo.k3_maps[s + 1], v[s + 1],
                 train, f"block{s+1}",
                 dense_plan=_same_plan(didx, ddims, s + 1),
+                plan=_oplan(topo.k3_plans, s + 1, train),
             )
             ch = self.planes[s] * exp
             enc.append(x)
@@ -139,7 +149,8 @@ class MinkUNetBase(nn.Module):
             lvl = 3 - d  # target level index
             x = SparseConv(self.planes[4 + d], 8, name=f"convtr{4+d}")(
                 x, topo.up_maps[lvl], v[lvl], kmap_bwd=topo.down_maps[lvl],
-                dense_plan=_pair_plan(didx, ddims, lvl, "up")
+                dense_plan=_pair_plan(didx, ddims, lvl, "up"),
+                plan=_oplan(topo.up_plans, lvl, train),
             )
             x = MaskedBatchNorm(axis_name=ax, name=f"bntr{4+d}")(x, v[lvl], train)
             x = relu(x)
@@ -148,6 +159,7 @@ class MinkUNetBase(nn.Module):
                 self.layers[4 + d], self.planes[4 + d], x, topo.k3_maps[lvl],
                 v[lvl], train, f"block{5+d}",
                 dense_plan=_same_plan(didx, ddims, lvl),
+                plan=_oplan(topo.k3_plans, lvl, train),
             )
 
         # final 1x1 conv with bias (/root/reference/network/Mink.py:282-287)
@@ -176,22 +188,26 @@ class MinkMiniUNet(nn.Module):
         out_p0 = relu(out)
 
         x = SparseConv(self.init_dim, 8, name="conv1s2")(
-            out_p0, topo.down_maps[0], v[1], kmap_bwd=topo.up_maps[0])
+            out_p0, topo.down_maps[0], v[1], kmap_bwd=topo.up_maps[0],
+            plan=_oplan(topo.down_plans, 0, train))
         x = MaskedBatchNorm(axis_name=ax, name="bn1")(x, v[1], train)
         x = relu(x)
         for i in range(self.layers[0]):
             x = blk(self.planes[0], axis_name=ax, name=f"block1_{i}")(
-                x, topo.k3_maps[1], v[1], train
+                x, topo.k3_maps[1], v[1], train,
+                plan=_oplan(topo.k3_plans, 1, train)
             )
 
         x = SparseConv(self.planes[1], 8, name="convtr2")(
-            x, topo.up_maps[0], v[0], kmap_bwd=topo.down_maps[0])
+            x, topo.up_maps[0], v[0], kmap_bwd=topo.down_maps[0],
+            plan=_oplan(topo.up_plans, 0, train))
         x = MaskedBatchNorm(axis_name=ax, name="bntr1")(x, v[0], train)
         x = relu(x)
         x = jnp.concatenate([x, out_p0], axis=1)
         for i in range(self.layers[1]):
             x = blk(self.planes[1], axis_name=ax, name=f"block2_{i}")(
-                x, topo.k3_maps[0], v[0], train
+                x, topo.k3_maps[0], v[0], train,
+                plan=_oplan(topo.k3_plans, 0, train)
             )
         return SparseLinear(self.out_channels, use_bias=True, name="final")(x, v[0])
 

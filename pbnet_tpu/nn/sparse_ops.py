@@ -259,6 +259,9 @@ def gather_conv(
     valid_out: jnp.ndarray,  # (M_out,) bool
     bias: jnp.ndarray | None = None,
     kmap_bwd: jnp.ndarray | None = None,
+    plan=None,  # onehot_conv.OnehotPlan: banded one-hot MXU path (eval-only
+    # today: the Pallas kernel has no VJP, so callers pass it when no
+    # gradient will flow — minkunet gates on ``train``)
 ) -> jnp.ndarray:
     """Sparse convolution as gather + GEMM.  Returns (M_out, Cout).
 
@@ -266,8 +269,13 @@ def gather_conv(
     ``_gather_conv_core``); otherwise autodiff falls back to scatter-add.
     Hypercube kernel maps use z-window gathers (see _window_img2col).
     """
+    from . import onehot_conv as _oc
+
     kz = _KZ_OF.get(kmap.shape[1])
-    if kmap_bwd is None:
+    if (plan is not None and _oc.enabled()
+            and feats.shape[1] >= _oc.MIN_CIN):
+        y = _oc.onehot_conv(feats, plan, weights, valid_out, COMPUTE_DTYPE)
+    elif kmap_bwd is None:
         y = _conv_fwd_math(feats, kmap, weights, valid_out, kz)
     else:
         y = _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out)
