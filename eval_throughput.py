@@ -55,7 +55,11 @@ def fabricate_val_set(root):
     for count, n_pts in SCENE_MIX:
         for _ in range(count):
             nm = f"scene{len(names):04d}_00"
-            xyz, sem, ins, _ = make_scene(rng, n_pts=n_pts)
+            # floor area tracks point count (real small scans are spatially
+            # small); bucket choice checks the spatial extent too, so only
+            # genuinely small rooms ride the 0.4x bucket
+            room = 4.5 * (n_pts / 45_000.0) ** 0.5
+            xyz, sem, ins, _ = make_scene(rng, n_pts=n_pts, room=room)
             n = xyz.shape[0]
             # colors keyed to class, normals up-ish: content realism does not
             # matter for loop throughput, only sizes do

@@ -63,17 +63,31 @@ class StaticShapes:
 
     def scaled(self, f: float) -> "StaticShapes":
         """A size bucket: every point/voxel capacity scaled by ``f`` (rounded
-        up to TPU-friendly multiples), cluster/instance capacities and the
-        grid extent unchanged.  Small validation scenes run in a small bucket
-        so they do not pay worst-case latency (SURVEY §5: static-shape scene
-        buckets vs the reference's fully dynamic shapes,
-        /root/reference/datasets/scannetv2/dataset_preprocess.py:308-385)."""
+        up to TPU-friendly multiples), cluster/instance capacities unchanged.
+        Small validation scenes run in a small bucket so they do not pay
+        worst-case latency (SURVEY §5: static-shape scene buckets vs the
+        reference's fully dynamic shapes,
+        /root/reference/datasets/scannetv2/dataset_preprocess.py:308-385).
+
+        The grid extent's X/Y dims scale by ``sqrt(f)`` (point count tracks
+        scan surface ~ floor area) while Z stays fixed (rooms keep their
+        height no matter how small the scan): smaller scenes get
+        proportionally smaller dense-grid tables, which gather faster.
+        Collation only picks a bucket whose extent the scene's voxel
+        bounding box FITS (see Dataset._collate), so a shrunken extent
+        never drops voxels."""
         if f == 1.0:
             return self
 
         def r(x, q):
             return max(q, -int(-x * f // q) * q)
 
+        ext = self.grid_extent
+        if ext is not None:
+            s = f ** 0.5
+            ext = (ext[0],) + tuple(
+                max(64, -int(-d * s // 32) * 32) for d in ext[1:3]
+            ) + (ext[3],)
         return dataclasses.replace(
             self,
             point_cap=r(self.point_cap, 4096),
@@ -84,6 +98,7 @@ class StaticShapes:
             fg_point_cap=(
                 r(self.fg_point_cap, 4096) if self.fg_point_cap else None
             ),
+            grid_extent=ext,
         )
 
 

@@ -218,9 +218,17 @@ class Dataset:
         n_pts, n_vox = xyz_all.shape[0], coords.shape[0]
 
         if buckets:
+            # spatial fit: bucket extents shrink with the scale factor
+            # (StaticShapes.scaled), so the scene's voxel bbox must fit the
+            # bucket's grid extent too — a too-small extent would overflow
+            # the lookup grid and drop kernel-map entries
+            vmax = coords[:, 1:].max(0) + 1 if n_vox else np.zeros(3, np.int64)
             for b in buckets:
+                ext_ok = b.grid_extent is None or all(
+                    int(vmax[i]) <= b.grid_extent[1 + i] for i in range(3)
+                )
                 if (n_pts <= b.point_cap and n_vox <= b.voxel_caps[0]
-                        and total_inst <= b.instance_cap):
+                        and total_inst <= b.instance_cap and ext_ok):
                     sh = b
                     break
             else:

@@ -50,11 +50,18 @@ def _take_rows0(tbl, idx):
 def _window_plan(kz, cin):
     """Rows per window gather.  A gather op fetches up to one 128-lane tile
     at roughly fixed cost (measured on v5e: ~3-6 ns/op whether the row is 64
-    or 192 bytes; 160+ lanes split into multiple tiles and LOSE), so windows
-    pay off exactly when ``w * cin <= 128`` with ``w >= 2``."""
+    or 192 bytes), so windows pay off when ``w * cin <= 128`` with
+    ``w >= 2``.  Exception (measured r4, real L1 topology): when a 192-lane
+    budget lets the window cover the WHOLE z-run (w == kz, single gather per
+    group, m-major single-chunk reconstruction), the wider rows win big
+    (64ch k3: 3.81 vs 7.23 ms at 45k voxels) — the chunk loop + selects of
+    the partial-window path cost more than the extra row tile.  Wider rows
+    WITHOUT full coverage still lose (96ch w=2: 18.97 vs 7.89 ms)."""
     if kz is None or kz <= 1:
         return None
     w = min(kz, max(1, 128 // max(cin, 1)))
+    if w < kz and kz * cin <= 192:
+        return kz  # full z-run in one <=192-lane gather
     return w if w >= 2 else None
 
 

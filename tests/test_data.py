@@ -269,6 +269,12 @@ class TestDataset:
         # cluster/instance capacities (semantics) untouched
         assert half.cluster_cap == sh.cluster_cap
         assert half.instance_cap == sh.instance_cap
+        # grid extent spatial dims shrink ~f^(1/3), batch dim untouched
+        assert half.grid_extent[0] == sh.grid_extent[0]
+        assert all(
+            a <= b for a, b in zip(half.grid_extent[1:], sh.grid_extent[1:])
+        )
+        assert all(d % 32 == 0 for d in half.grid_extent[1:])
         assert sh.scaled(1.0) is sh
         cfg = Config()
         bks = cfg.eval_buckets()
@@ -288,6 +294,36 @@ class TestDataset:
         assert b["shapes"] == buckets[0]
         assert b["xyz"].shape[0] == buckets[0].point_cap
         assert b["keep_idx"] is None
+
+    def test_bucket_respects_spatial_extent(self, rng, tmp_path):
+        """A scene with FEW points but a LARGE spatial footprint must skip
+        buckets whose (scaled) grid extent its voxel bbox does not fit —
+        a too-small extent would overflow the lookup grid."""
+        self._prepare(tmp_path, rng)
+        cfg = self._mini_cfg(tmp_path)
+        ds = Dataset(cfg)
+        buckets = cfg.eval_buckets()
+        # sparse line of points spanning beyond the smallest bucket's extent
+        small_ext = buckets[0].grid_extent
+        span = (small_ext[1] + 64) * cfg.voxel_size  # beyond bucket-0 x
+        n = 600
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:, 0] = np.linspace(0, span, n)
+        xyz[:, 1] = np.linspace(0, 0.5, n)
+        xyz[:, 2] = 0.1
+        rgb = np.zeros((n, 3), np.float32)
+        nl = np.tile([0, 0, 1.0], (n, 1)).astype(np.float32)
+        sem = np.zeros(n, np.int32)
+        ins = np.full(n, -100, np.int32)
+        b = ds._collate([("s", xyz, rgb, nl, sem, ins)],
+                        buckets=list(buckets))
+        assert b["shapes"].grid_extent[1] >= small_ext[1] + 64
+        # and a compact scene of the same point count stays in bucket 0
+        xyz2 = xyz.copy()
+        xyz2[:, 0] = np.linspace(0, 1.0, n)
+        b2 = ds._collate([("s", xyz2, rgb, nl, sem, ins)],
+                         buckets=list(buckets))
+        assert b2["shapes"] == buckets[0]
 
     def test_oversize_val_scene_crops_not_raises(self, rng, tmp_path):
         self._prepare(tmp_path, rng)

@@ -304,11 +304,14 @@ class TestWindowImg2col:
     def test_plan_lane_budget(self):
         assert sparse_ops._window_plan(3, 6) == 3
         assert sparse_ops._window_plan(3, 32) == 3   # 96 lanes, one tile
-        assert sparse_ops._window_plan(3, 48) == 2
-        assert sparse_ops._window_plan(3, 96) is None  # 2 tiles: direct wins
-        assert sparse_ops._window_plan(5, 32) == 4   # chunks [4, 1]
-        assert sparse_ops._window_plan(5, 34) == 3   # chunks [3, 2]
+        assert sparse_ops._window_plan(3, 48) == 3   # 144 lanes, full z-run
+        assert sparse_ops._window_plan(3, 64) == 3   # 192 lanes, full z-run
+        assert sparse_ops._window_plan(3, 96) is None  # 288 lanes: direct wins
+        assert sparse_ops._window_plan(5, 32) == 5   # 160 lanes, full z-run
+        assert sparse_ops._window_plan(5, 34) == 5   # 170 lanes, full z-run
+        assert sparse_ops._window_plan(5, 64) == 2   # 320 > 192: partial
         assert sparse_ops._window_plan(2, 64) == 2
+        assert sparse_ops._window_plan(2, 96) == 2   # 192 lanes, full z-run
         assert sparse_ops._window_plan(2, 128) is None
         assert sparse_ops._window_plan(None, 32) is None
 
