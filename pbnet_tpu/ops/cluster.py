@@ -460,13 +460,14 @@ def binary_cluster(
     # Two packed-bit passes: max of first-orig over set bits, then any root
     # whose first-orig equals that max (equal first-orig => identical
     # component, so any matching root is THE root). ----
-    best_first = bits_reduce(first_p, bits_hp, jnp.maximum, jnp.int32(-1))
     if pk.use_pallas():
-        root_pick = pk.masked_window_match_pick(
+        # fused single pass over the bit words: max first-orig + its root
+        best_first, root_pick = pk.masked_window_border(
             bits_hp[0], bits_hp[1], win(first_p), win2(first_p),
-            win(label_p), win2(label_p), best_first,
+            win(label_p), win2(label_p),
         )
     else:
+        best_first = bits_reduce(first_p, bits_hp, jnp.maximum, jnp.int32(-1))
         root_pick = jnp.full((nchunks, chunk), -1, jnp.int32)
         for bw, w in zip(bits_hp, (win, win2)):
             fw = w(first_p).reshape(nchunks, NW, 32)
@@ -547,6 +548,13 @@ def binary_cluster(
         # window could in principle pick the other point; measure zero on
         # real coordinates.)
         need = (~assigned) & valid_s
+        # per-chunk needy-row counts: the Pallas 1-NN kernel skips chunks
+        # with none (trained/oracle content routes only a few % of rows to
+        # the fallback)
+        need_c = jnp.sum(
+            pad_to(need, False).reshape(nchunks, chunk).astype(jnp.int32),
+            axis=1,
+        )
         orig_p = pad_to(orig_s, 1e9)
         assigned_p = pad_to(assigned, False)
         cid_p = pad_to(cid_filtered, -1)
@@ -575,7 +583,8 @@ def binary_cluster(
                 wiq = jnp.stack(
                     [lane(w(g_p)), lane(cass.astype(jnp.int32)),
                      lane(w(g_p))], 1)
-                bd2, col = pk.window_1nn(rows_fq, rows_iq, wfq, wiq)
+                bd2, col = pk.window_1nn(rows_fq, rows_iq, wfq, wiq,
+                                         need=need_c)
                 return bd2, anc[:, None] + col
             cwx, cwy, cwz = (w(orig_p[:, a])[:, ::-1] for a in range(3))
             cass = cass[:, ::-1]

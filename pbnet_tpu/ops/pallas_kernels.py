@@ -189,7 +189,7 @@ def neighbor_pack(r2, rows_f, rows_i, w1f, w1i, w2f, w2i):
     return bits1, bits2, dens[:, 0, :]
 
 
-def _window_1nn_kernel(rows_f_ref, rows_i_ref, wf_ref, wi_ref,
+def _window_1nn_kernel(need_ref, rows_f_ref, rows_i_ref, wf_ref, wi_ref,
                        d2_ref, col_ref):
     """Masked nearest-candidate search over one banded window.
 
@@ -197,61 +197,83 @@ def _window_1nn_kernel(rows_f_ref, rows_i_ref, wf_ref, wi_ref,
     group match), minimize d2; among minima the LAST window column wins
     (the reference's ``dist <= best`` scan order).  Outputs best d2
     (inf when empty) and the winning window column (1, 1, chunk).
+
+    ``need_ref`` (scalar prefetch, (nchunks,)): chunks with NO needy rows
+    skip the whole 32-bit scan and emit the empty answer — on trained/
+    oracle content only a few % of rows reach the 1-NN fallback, so most
+    chunks skip.
     """
+    i = pl.program_id(0)
     chunk = rows_f_ref.shape[2]
     nw = wf_ref.shape[3]
-    rx = rows_f_ref[0, 0, :].reshape(chunk, 1)
-    ry = rows_f_ref[0, 1, :].reshape(chunk, 1)
-    rz = rows_f_ref[0, 2, :].reshape(chunk, 1)
-    rg = rows_i_ref[0, 0, :].reshape(chunk, 1)
-    wf = wf_ref[0]
-    wi = wi_ref[0]
-    inf = jnp.float32(jnp.inf)
-    best = jnp.full((chunk, nw), inf, jnp.float32)
-    bestb = jnp.zeros((chunk, nw), jnp.int32)
-    for b in range(32):
-        dx = rx - wf[0, b:b + 1, :]
-        dy = ry - wf[1, b:b + 1, :]
-        dz = rz - wf[2, b:b + 1, :]
-        d2 = dx * dx + dy * dy + dz * dz
-        ok = (rg == wi[0, b:b + 1, :]) & (wi[1, b:b + 1, :] > 0)
-        d2 = jnp.where(ok, d2, inf)
-        # later bit lane wins ties within a word lane (<=)
-        take = d2 <= best
-        best = jnp.where(take, d2, best)
-        bestb = jnp.where(take, b, bestb)
-    # across word lanes: the LARGEST w among minima wins (later window
-    # column), then its stored bit lane
-    mind2 = best.min(axis=1, keepdims=True)  # (chunk, 1)
-    wlane = jax.lax.broadcasted_iota(jnp.int32, (chunk, nw), 1)
-    wpick = jnp.where(best <= mind2, wlane, -1).max(axis=1)  # (chunk,)
-    bpick = jnp.where(wlane == wpick[:, None], bestb, -1).max(axis=1)
-    d2_ref[0, 0, :] = mind2[:, 0]
-    col_ref[0, 0, :] = wpick * 32 + bpick
+
+    @pl.when(need_ref[i] == 0)
+    def _():
+        d2_ref[0, 0, :] = jnp.full((chunk,), jnp.inf, jnp.float32)
+        col_ref[0, 0, :] = jnp.full((chunk,), -1, jnp.int32)
+
+    @pl.when(need_ref[i] > 0)
+    def _():
+        rx = rows_f_ref[0, 0, :].reshape(chunk, 1)
+        ry = rows_f_ref[0, 1, :].reshape(chunk, 1)
+        rz = rows_f_ref[0, 2, :].reshape(chunk, 1)
+        rg = rows_i_ref[0, 0, :].reshape(chunk, 1)
+        wf = wf_ref[0]
+        wi = wi_ref[0]
+        inf = jnp.float32(jnp.inf)
+        best = jnp.full((chunk, nw), inf, jnp.float32)
+        bestb = jnp.zeros((chunk, nw), jnp.int32)
+        for b in range(32):
+            dx = rx - wf[0, b:b + 1, :]
+            dy = ry - wf[1, b:b + 1, :]
+            dz = rz - wf[2, b:b + 1, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            ok = (rg == wi[0, b:b + 1, :]) & (wi[1, b:b + 1, :] > 0)
+            d2 = jnp.where(ok, d2, inf)
+            # later bit lane wins ties within a word lane (<=)
+            take = d2 <= best
+            best = jnp.where(take, d2, best)
+            bestb = jnp.where(take, b, bestb)
+        # across word lanes: the LARGEST w among minima wins (later window
+        # column), then its stored bit lane
+        mind2 = best.min(axis=1, keepdims=True)  # (chunk, 1)
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (chunk, nw), 1)
+        wpick = jnp.where(best <= mind2, wlane, -1).max(axis=1)  # (chunk,)
+        bpick = jnp.where(wlane == wpick[:, None], bestb, -1).max(axis=1)
+        d2_ref[0, 0, :] = mind2[:, 0]
+        col_ref[0, 0, :] = wpick * 32 + bpick
 
 
-def window_1nn(rows_f, rows_i, wf, wi):
+def window_1nn(rows_f, rows_i, wf, wi, need=None):
     """Banded masked 1-NN: best squared distance + window column per row.
 
     rows_f: (nchunks, 3, chunk) f32 query xyz; rows_i: (nchunks, 3, chunk)
     int32 (group, _, _); wf/wi: (nchunks, 3, 32, NW) bit-lane-major window
-    planes (xyz / group, candidate mask, unused).  Returns (d2, col):
-    (nchunks, chunk) f32 best distance (inf if no candidate) and int32
-    window column (w*32+b) of the LAST minimum in window order.
+    planes (xyz / group, candidate mask, unused).  ``need``: (nchunks,)
+    int32 needy-row count per chunk (None = all needy).  Returns (d2, col):
+    (nchunks, chunk) f32 best distance (inf if no candidate, or the chunk
+    skipped) and int32 window column (w*32+b) of the LAST minimum in window
+    order (-1 for skipped chunks).
     """
     nchunks, _, chunk = rows_f.shape
     nw = wf.shape[3]
-    rspec = pl.BlockSpec((1, 3, chunk), lambda i: (i, 0, 0),
+    if need is None:
+        need = jnp.ones((nchunks,), jnp.int32)
+    rspec = pl.BlockSpec((1, 3, chunk), lambda i, n: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((1, 3, 32, nw), lambda i: (i, 0, 0, 0),
+    wspec = pl.BlockSpec((1, 3, 32, nw), lambda i, n: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+    ospec = pl.BlockSpec((1, 1, chunk), lambda i, n: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    d2, col = pl.pallas_call(
-        _window_1nn_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[rspec, rspec, wspec, wspec],
         out_specs=[ospec, ospec],
+    )
+    d2, col = pl.pallas_call(
+        _window_1nn_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nchunks, 1, chunk), jnp.float32),
             jax.ShapeDtypeStruct((nchunks, 1, chunk), jnp.int32),
@@ -261,8 +283,82 @@ def window_1nn(rows_f, rows_i, wf, wi):
             bytes_accessed=(chunk * nw * 4 + 8 * 32 * nw * 4) * nchunks,
         ),
         interpret=INTERPRET,
-    )(rows_f, rows_i, wf, wi)
+    )(need.astype(jnp.int32), rows_f, rows_i, wf, wi)
     return d2[:, 0, :], col[:, 0, :]
+
+
+def _border_kernel(b1_ref, b2_ref, f1_ref, f2_ref, l1_ref, l2_ref,
+                   best_ref, root_ref):
+    """Fused border adoption: ONE pass over the packed neighbor words
+    computes both the max first-orig value over set bits AND the label of
+    a root achieving it (the two-pass formulation reads the 62 MB bit
+    tables twice; equal first-orig values imply the identical component, so
+    tracking the argmax's label inline is exact)."""
+    chunk, nw = b1_ref.shape[1], b1_ref.shape[2]
+    # two sequential SINGLE-accumulator loops (a dual-accumulator take/
+    # select chain made Mosaic keep every iteration's intermediates live:
+    # 67 MB scoped-vmem OOM); the bit words and value planes stay VMEM-
+    # resident across both, which is the fusion win
+    best = jnp.full((chunk, nw), -1, jnp.int32)
+    for b_ref, f_ref in ((b1_ref, f1_ref), (b2_ref, f2_ref)):
+        bits = b_ref[0]
+        ft = f_ref[0]  # (32, NW)
+        for b in range(32):
+            m = (bits >> jnp.uint32(b)) & jnp.uint32(1)
+            best = jnp.maximum(best, jnp.where(m > 0, ft[b : b + 1, :], -1))
+    mx = best.max(axis=1)  # (chunk,)
+    # any entry whose first-orig equals the max holds a root of THE
+    # component (first-orig is injective across components)
+    acc = jnp.full((chunk, nw), -1, jnp.int32)
+    for b_ref, f_ref, l_ref in ((b1_ref, f1_ref, l1_ref),
+                                (b2_ref, f2_ref, l2_ref)):
+        bits = b_ref[0]
+        ft = f_ref[0]
+        lt = l_ref[0]
+        for b in range(32):
+            m = (bits >> jnp.uint32(b)) & jnp.uint32(1)
+            hit = (m > 0) & (ft[b : b + 1, :] == mx[:, None])
+            acc = jnp.maximum(acc, jnp.where(hit, lt[b : b + 1, :], -1))
+    best_ref[0, 0, :] = mx
+    root_ref[0, 0, :] = acc.max(axis=1)
+
+
+def masked_window_border(bits1, bits2, fw1, fw2, lw1, lw2):
+    """Fused equivalent of masked_window_reduce(..., maximize) +
+    masked_window_match_pick: returns (best_first, root_pick), both
+    (nchunks, chunk) int32 with -1 where no bits are set.
+
+    The row dimension is sub-tiled (grid dim 1): the kernel's 128 unrolled
+    bit iterations made Mosaic stack full-chunk intermediates (35-67 MB of
+    scoped vmem at chunk=1024); 256-row tiles keep the live set bounded
+    while the (per-chunk) value planes are re-fetched per sub-tile (cheap:
+    they are 32 x NW)."""
+    nchunks, chunk, nw = bits1.shape
+    sub = min(chunk, 256)
+    nsub = chunk // sub
+    assert nsub * sub == chunk, (chunk, sub)
+    bspec = pl.BlockSpec((1, sub, nw), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 32, nw), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, sub), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    best, root = pl.pallas_call(
+        _border_kernel,
+        grid=(nchunks, nsub),
+        in_specs=[bspec, bspec, vspec, vspec, vspec, vspec],
+        out_specs=[ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nchunks, 1, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks, 1, chunk), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 32 * 6 * chunk * nw * nchunks, transcendentals=0,
+            bytes_accessed=2 * bits1.size * 4 + 4 * fw1.size * 4,
+        ),
+        interpret=INTERPRET,
+    )(bits1, bits2, _vt(fw1, nw), _vt(fw2, nw), _vt(lw1, nw), _vt(lw2, nw))
+    return best[:, 0, :], root[:, 0, :]
 
 
 def _match_pick_kernel(b1_ref, b2_ref, f1_ref, f2_ref, l1_ref, l2_ref,

@@ -148,6 +148,47 @@ class TestCluster:
         # pads untouched
         assert np.all(np.asarray(res.cluster_id)[n:] == -1)
 
+    def test_pallas_path_matches_xla(self, rng):
+        """Full binary_cluster through the Pallas kernels (interpreter on
+        CPU) must equal the XLA-fallback result bit for bit — covers the
+        fused border kernel and the needy-gated 1-NN."""
+        from pbnet_tpu.ops import pallas_kernels as pk
+
+        shifted, orig, sem, batch = make_scene(rng)
+        n = len(sem)
+        npad = n + 37
+
+        def padv(x, fill):
+            out = np.full((npad,) + x.shape[1:], fill, x.dtype)
+            out[:n] = x
+            return out
+
+        valid = np.arange(npad) < n
+        args = (
+            jnp.asarray(padv(shifted, 0)), jnp.asarray(padv(orig, 0)),
+            jnp.asarray(padv(sem, 0)), jnp.asarray(padv(batch, 0)),
+            jnp.asarray(valid),
+        )
+        kw = dict(radius=0.1, min_pts=10, count_mean=jnp.asarray(COUNT_MEAN),
+                  para_f=0.05, cluster_cap=32, band=2048, chunk=128)
+        ref = cl.binary_cluster(*args, **kw)
+        old_i, old_u = pk.INTERPRET, pk.use_pallas
+        pk.INTERPRET = True
+        pk.use_pallas = lambda: True
+        # the jit cache would replay the XLA-branch jaxpr: drop it so the
+        # Pallas branch actually traces
+        cl.binary_cluster._clear_cache()
+        try:
+            got = cl.binary_cluster(*args, **kw)
+        finally:
+            pk.INTERPRET, pk.use_pallas = old_i, old_u
+            cl.binary_cluster._clear_cache()
+        np.testing.assert_array_equal(np.asarray(got.cluster_id),
+                                      np.asarray(ref.cluster_id))
+        np.testing.assert_array_equal(np.asarray(got.density),
+                                      np.asarray(ref.density))
+        assert int(got.num_clusters) == int(ref.num_clusters)
+
     def test_no_clusters_when_sparse(self, rng):
         n = 64
         shifted = (rng.rand(n, 3) * 10).astype(np.float32)
@@ -259,6 +300,32 @@ class TestPallasKernels:
         finally:
             pk.INTERPRET = old
         np.testing.assert_array_equal(got, want)
+
+    def test_fused_border_matches_two_pass(self, rng):
+        """masked_window_border == reduce(max) + match_pick under the
+        pipeline invariant that equal first-orig values carry equal labels
+        (first-orig is injective across components, cluster.py)."""
+        from pbnet_tpu.ops import pallas_kernels as pk
+
+        bits1, bits2, fw1, fw2 = self._mk(rng)
+        fw1, fw2 = fw1 % 7, fw2 % 7
+        # labels are a function of the component (= of first-orig)
+        lw1 = fw1 * 3 + 1
+        lw2 = fw2 * 3 + 1
+        want_best = self._xla_reduce(bits1, bits2, fw1, fw2, minimize=False)
+        want_root = np.where(want_best >= 0, want_best * 3 + 1, -1)
+
+        old = pk.INTERPRET
+        pk.INTERPRET = True
+        try:
+            best, root = pk.masked_window_border(
+                jnp.asarray(bits1), jnp.asarray(bits2), jnp.asarray(fw1),
+                jnp.asarray(fw2), jnp.asarray(lw1), jnp.asarray(lw2),
+            )
+        finally:
+            pk.INTERPRET = old
+        np.testing.assert_array_equal(np.asarray(best), want_best)
+        np.testing.assert_array_equal(np.asarray(root), want_root)
 
     def test_value_and_grad_through_pallas_cluster(self, rng):
         # Regression (round-3 bench): the train step died with
