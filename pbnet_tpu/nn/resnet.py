@@ -6,9 +6,16 @@ stages each entered with a stride-2 conv (1x1 stride-2 downsample skip), a
 dropout + k3 s3 conv + InstanceNorm + GELU head, global max pooling and a
 final linear classifier.
 
-The ResFieldNet variants build on ME's TensorField/MinkowskiSinusoidal
-continuous-coordinate machinery, which has no counterpart in this engine;
-they are intentionally out of scope (documented capability gap).
+The ResFieldNet variants (/root/reference/network/Mink.py:145-198) prefix
+the classifier with two TensorField blocks: a sinusoidal (Fourier-feature)
+per-POINT embedding + BN/ReLU/Linear/BN/ReLU, pooled to voxels
+(ToSparseTensor = per-voxel mean of member points), with the second block
+consuming cat_slice (voxel features sliced back to points, concatenated
+with the raw point features).  Here the TensorField is (point features,
+point->voxel map, point validity); pooling is a masked segment-mean and
+slicing a row gather.  NOTE: MinkowskiSinusoidal's exact parameterization
+is approximated as sin(x @ W + b) (no network access to pin ME's source in
+this environment); the family is otherwise structurally exact.
 """
 
 from __future__ import annotations
@@ -197,6 +204,70 @@ class SparseResNet(nn.Module):
         return nn.Dense(self.out_channels, use_bias=True, name="final")(pooled)
 
 
+class SparseResFieldNet(nn.Module):
+    """ResFieldNetBase (/root/reference/network/Mink.py:145-173): two
+    sinusoidal field blocks over the point 'TensorField', then the sparse
+    ResNet classifier on the pooled voxel features."""
+
+    out_channels: int
+    layers: Sequence[int] = (1, 1, 1, 1)
+    planes: Sequence[int] = (64, 128, 256, 512)
+    block: str = "basic"
+    field_ch: int = 32
+    field_ch2: int = 64
+    num_batch: int = 8
+    axis_name: Optional[str] = None
+
+    def _field(self, x, pvalid, ch, train, name):
+        y = jnp.sin(nn.Dense(ch, name=f"{name}_sinusoidal")(x))
+        y = jnp.where(pvalid[:, None], y, 0.0)
+        y = MaskedBatchNorm(axis_name=self.axis_name, name=f"{name}_bn1")(
+            y, pvalid, train)
+        y = relu(y)
+        y = nn.Dense(ch, name=f"{name}_linear")(y)
+        y = jnp.where(pvalid[:, None], y, 0.0)
+        y = MaskedBatchNorm(axis_name=self.axis_name, name=f"{name}_bn2")(
+            y, pvalid, train)
+        return relu(y)
+
+    def _to_sparse(self, y, p2v, pvalid, cap):
+        """ToSparseTensor: per-voxel MEAN of member point features."""
+        seg = jnp.where(pvalid & (p2v >= 0), p2v, cap)
+        s = jax.ops.segment_sum(
+            jnp.where(pvalid[:, None], y, 0.0), seg, num_segments=cap + 1
+        )[:cap]
+        c = jax.ops.segment_sum(
+            (pvalid & (p2v >= 0)).astype(y.dtype), seg, num_segments=cap + 1
+        )[:cap]
+        return s / jnp.maximum(c, 1.0)[:, None]
+
+    @nn.compact
+    def __call__(self, topo: ResNetTopology, point_feats, p2v, point_valid,
+                 in_level_valid, batch_ids_per_level, train: bool,
+                 dropout_rng=None):
+        """point_feats (P, Cin) on the TensorField; p2v (P,) row in the
+        classifier's INPUT voxel level (the level build_resnet_topology was
+        given); in_level_valid (V,) that level's validity."""
+        cap = in_level_valid.shape[0]
+        y1 = self._field(point_feats, point_valid, self.field_ch, train,
+                         "field1")
+        v1 = self._to_sparse(y1, p2v, point_valid, cap)
+        # cat_slice: voxel features back at the points + raw point features
+        sl = jnp.take(v1, jnp.clip(p2v, 0, cap - 1), axis=0)
+        sl = jnp.where((point_valid & (p2v >= 0))[:, None], sl, 0.0)
+        y2 = self._field(
+            jnp.concatenate([sl, point_feats], axis=1), point_valid,
+            self.field_ch2, train, "field2",
+        )
+        v2 = self._to_sparse(y2, p2v, point_valid, cap)
+        v2 = jnp.where(in_level_valid[:, None], v2, 0.0)
+        return SparseResNet(
+            out_channels=self.out_channels, layers=self.layers,
+            planes=self.planes, block=self.block, num_batch=self.num_batch,
+            axis_name=self.axis_name, name="resnet",
+        )(topo, v2, batch_ids_per_level, train, dropout_rng)
+
+
 RESNET_ARCHS = {
     "ResNet14": dict(layers=(1, 1, 1, 1)),
     "ResNet18": dict(layers=(2, 2, 2, 2)),
@@ -211,3 +282,22 @@ def sparse_resnet(out_channels: int, arch: str = "ResNet14", axis_name=None):
         raise ValueError(f"unknown ResNet arch {arch}")
     return SparseResNet(out_channels=out_channels, axis_name=axis_name,
                         **RESNET_ARCHS[arch])
+
+
+RESFIELD_ARCHS = {
+    "ResFieldNet14": dict(layers=(1, 1, 1, 1)),
+    "ResFieldNet18": dict(layers=(2, 2, 2, 2)),
+    "ResFieldNet34": dict(layers=(3, 4, 6, 3)),
+    "ResFieldNet50": dict(layers=(3, 4, 6, 3), block="bottleneck"),
+    "ResFieldNet101": dict(layers=(3, 4, 23, 3), block="bottleneck"),
+}
+
+
+def sparse_resfieldnet(out_channels: int, arch: str = "ResFieldNet14",
+                       axis_name=None):
+    """Factory for the TensorField classifier family
+    (/root/reference/network/Mink.py:175-198)."""
+    if arch not in RESFIELD_ARCHS:
+        raise ValueError(f"unknown ResFieldNet arch {arch}")
+    return SparseResFieldNet(out_channels=out_channels, axis_name=axis_name,
+                             **RESFIELD_ARCHS[arch])

@@ -53,6 +53,40 @@ class TestResNet:
         except ValueError:
             pass
 
+    def test_resfieldnet_forward(self, rng):
+        """ResFieldNet: sinusoidal point-field blocks -> voxel pooling ->
+        classifier (/root/reference/network/Mink.py:145-198)."""
+        lv = grid_level(rng)
+        caps = [lv.cap] * 7
+        topo = resnet.build_resnet_topology(lv, caps)
+        model = resnet.sparse_resfieldnet(10, "ResFieldNet14")
+        # a point field: ~3 points per voxel, mapped to their voxel rows
+        P = lv.cap * 3
+        p2v = np.repeat(np.arange(lv.cap, dtype=np.int32), 3)
+        pvalid = np.asarray(lv.valid)[p2v]
+        pfeats = jnp.asarray(rng.randn(P, 3).astype(np.float32))
+        pfeats = pfeats * pvalid[:, None]
+        bids = [l.coords[:, 0] for l in topo.levels]
+        variables = model.init(
+            jax.random.PRNGKey(0), topo, pfeats, jnp.asarray(p2v),
+            jnp.asarray(pvalid), lv.valid, bids, False,
+        )
+        out = model.apply(variables, topo, pfeats, jnp.asarray(p2v),
+                          jnp.asarray(pvalid), lv.valid, bids, False)
+        assert out.shape == (8, 10)
+        assert np.isfinite(np.asarray(out)).all()
+        # the two field blocks + classifier all own parameters
+        tops = set(variables["params"].keys())
+        assert any(k.startswith("field1") for k in tops), tops
+        assert any(k.startswith("field2") for k in tops), tops
+        assert "resnet" in tops
+
+    def test_unknown_field_arch(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            resnet.sparse_resfieldnet(10, "ResFieldNet7")
+
 
 class TestFreeze:
     def test_freeze_grads_zeroes_mapped_modules(self):
