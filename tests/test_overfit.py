@@ -51,7 +51,8 @@ def test_heldout_view_transfer(tmp_path):
     proc = subprocess.run(
         [sys.executable, WORKER, str(tmp_path), "--heldout"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True, timeout=2400,
+        text=True, timeout=3600,  # fresh-batch collate every step adds host
+        # time over the memorization run (calibrated: AP25=1.0 in round 0)
     )
     assert proc.returncode == 0, f"worker failed:\n{proc.stdout[-6000:]}"
     with open(tmp_path / "result.json") as f:
