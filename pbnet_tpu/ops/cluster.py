@@ -194,8 +194,17 @@ def binary_cluster(
     # union.  Only spans beyond 2W can still drop neighbor pairs, and those
     # rows are counted per-row in band_overflow, never silently.
     hi = jnp.maximum(npad - W, 0)
-    anchor = jnp.clip(lb_c, 0, hi).astype(jnp.int32)
-    anchor2 = jnp.clip(ub_c - W, anchor, hi).astype(jnp.int32)
+    # anchors are 32-ALIGNED so every window is a run of whole 32-point
+    # blocks: win() then gathers (W/32) block rows instead of W scalar rows
+    # (~30x fewer gather ops; gathers are op-count-bound).  Aligning the
+    # left anchor DOWN keeps lb >= anchor; the right anchor aligns UP, which
+    # keeps ub <= anchor2 + W (hi and npad are 32-multiples since chunk is);
+    # the per-row coverage accounting below uses the aligned values, so the
+    # band_overflow guarantee is unchanged.
+    anchor = ((jnp.clip(lb_c, 0, hi) // 32) * 32).astype(jnp.int32)
+    anchor2 = jnp.clip(
+        ((ub_c - W + 31) // 32) * 32, anchor, hi
+    ).astype(jnp.int32)
     # per-row honest accounting: a VALID row is flagged iff its own true
     # window [lb, ub) escapes the union of its chunk's two bands (invalid
     # rows share one giant INF group whose windows are meaningless — they
@@ -241,13 +250,25 @@ def binary_cluster(
     # the right window contributes only columns NOT already in the left one
     fresh2 = w_idx2 >= anchor[:, None] + W  # (nchunks, W)
 
+    def _win_blocks(arr, anc):
+        """Window gather as 32-point BLOCK rows (anchors are 32-aligned):
+        reshaping (npad, C) to (npad/32, 32*C) makes each window a run of
+        W/32 consecutive block rows — one ~32*C-lane gather fetches 32
+        points at the fixed per-op cost scalar-row gathers pay per point."""
+        c = 1 if arr.ndim == 1 else arr.shape[1]
+        blk = arr.reshape(npad // 32, 32 * c)
+        bidx = (anc // 32)[:, None] + jnp.arange(W // 32, dtype=jnp.int32)
+        g = jnp.take(blk, bidx, axis=0)  # (nchunks, W/32, 32*c)
+        out = g.reshape(nchunks, W, c)
+        return out[:, :, 0] if arr.ndim == 1 else out
+
     def win(arr):
         """(npad, ...) -> (nchunks, W, ...) banded window views (left)."""
-        return jnp.take(arr, w_idx, axis=0)
+        return _win_blocks(arr, anchor)
 
     def win2(arr):
         """Right-anchored window views; pair with the fresh2 column mask."""
-        return jnp.take(arr, w_idx2, axis=0)
+        return _win_blocks(arr, anchor2)
 
     # row-side tiles are plain reshapes (chunks tile the padded order)
     rx, ry, rz = (pos_p[:, a].reshape(nchunks, chunk) for a in range(3))
@@ -307,6 +328,41 @@ def binary_cluster(
         """(nchunks, W) -> (nchunks, 32, NW) bit-lane-major window planes."""
         return x.reshape(nchunks, NW, 32).swapaxes(1, 2)
 
+    # Packed per-point row table for window-plane builds: gathers are
+    # op-count-bound (~fixed cost up to a 128-lane row), so fetching
+    # [x|y|z|g|valid] in ONE 5-lane row gather per (chunk, window) replaces
+    # five separate (nchunks, W) gathers.  The table is INT32 with the f32
+    # coords riding as bitcasts: int bit patterns survive any data path,
+    # whereas int payloads bitcast to f32 do NOT on TPU (INF_I32 is a NaN
+    # the hardware canonicalizes; 0/1 are denormals it flushes — measured:
+    # zero clusters end to end).
+    f2i = functools.partial(jax.lax.bitcast_convert_type,
+                            new_dtype=jnp.int32)
+    i2f = functools.partial(jax.lax.bitcast_convert_type,
+                            new_dtype=jnp.float32)
+    ptable = jnp.stack([
+        f2i(pos_p[:, 0]), f2i(pos_p[:, 1]), f2i(pos_p[:, 2]),
+        g_p, valid_p.astype(jnp.int32),
+    ], axis=1)  # (npad, 5) int32
+
+    def wplanes_packed(which):
+        """Bit-lane-major window planes via one row gather of ptable."""
+        w, idx, extra = (win, w_idx, None) if which == 1 else (
+            win2, w_idx2, fresh2)
+        g5 = w(ptable)  # (nchunks, W, 5) — ONE gather
+        cv_ = g5[:, :, 4] > 0
+        if extra is not None:
+            cv_ = cv_ & extra
+        wf = jnp.stack(
+            [lane(i2f(g5[:, :, 0])), lane(i2f(g5[:, :, 1])),
+             lane(i2f(g5[:, :, 2]))], 1)
+        wi = jnp.stack([
+            lane(g5[:, :, 3]),
+            lane(cv_.astype(jnp.int32)),
+            lane(idx),  # window source indices: computed, not gathered
+        ], 1)
+        return wf, wi
+
     if pk.use_pallas():
         # one fused Pallas pass: distances + masks + pack + density, all
         # in VMEM (the XLA path below writes/reads the mask via the packed
@@ -314,21 +370,8 @@ def binary_cluster(
         rows_f = jnp.stack([rx, ry, rz], axis=1)
         rows_i = jnp.stack([rg, rv.astype(jnp.int32), rows_idx], axis=1)
 
-        def wplanes(which):
-            w, idx, extra = (win, w_idx, None) if which == 1 else (
-                win2, w_idx2, fresh2)
-            cp = w(pos_p)
-            cv_ = w(valid_p)
-            if extra is not None:
-                cv_ = cv_ & extra
-            wf = jnp.stack(
-                [lane(cp[:, :, 0]), lane(cp[:, :, 1]), lane(cp[:, :, 2])], 1)
-            wi = jnp.stack(
-                [lane(w(g_p)), lane(cv_.astype(jnp.int32)), lane(idx)], 1)
-            return wf, wi
-
-        w1f, w1i = wplanes(1)
-        w2f, w2i = wplanes(2)
+        w1f, w1i = wplanes_packed(1)
+        w2f, w2i = wplanes_packed(2)
         b1, b2, dens = pk.neighbor_pack(
             r2, rows_f, rows_i, w1f, w1i, w2f, w2i)
         bits = (b1, b2)
@@ -461,10 +504,13 @@ def binary_cluster(
     # whose first-orig equals that max (equal first-orig => identical
     # component, so any matching root is THE root). ----
     if pk.use_pallas():
-        # fused single pass over the bit words: max first-orig + its root
+        # fused single pass over the bit words: max first-orig + its root;
+        # (first, label) windows fetched as ONE 2-lane row gather per window
+        fl = jnp.stack([first_p, label_p], axis=1)  # (npad, 2) int32
+        flw1, flw2 = win(fl), win2(fl)
         best_first, root_pick = pk.masked_window_border(
-            bits_hp[0], bits_hp[1], win(first_p), win2(first_p),
-            win(label_p), win2(label_p),
+            bits_hp[0], bits_hp[1], flw1[:, :, 0], flw2[:, :, 0],
+            flw1[:, :, 1], flw2[:, :, 1],
         )
     else:
         best_first = bits_reduce(first_p, bits_hp, jnp.maximum, jnp.int32(-1))
@@ -573,19 +619,33 @@ def binary_cluster(
         def band_1nn(which):
             w, anc, fr = ((win, anchor, None) if which == 1
                           else (win2, anchor2, fresh2))
-            cass = w(assigned_p)
-            if fr is not None:
-                cass = cass & fr
             if pk.use_pallas():
                 rows_fq = jnp.stack(rx3, axis=1)
                 rows_iq = jnp.stack([rg, rg, rg], axis=1)
-                wfq = jnp.stack([lane(w(orig_p[:, a])) for a in range(3)], 1)
+                # [ox|oy|oz|g|assigned] in ONE 5-lane row gather per
+                # window (fresh2 folds in afterwards: it is window-, not
+                # point-indexed).  INT32 table, coords as bitcasts — int
+                # payloads in f32 lanes get NaN-canonicalized/denormal-
+                # flushed on TPU (see ptable above).
+                og5 = jnp.stack([
+                    f2i(orig_p[:, 0]), f2i(orig_p[:, 1]), f2i(orig_p[:, 2]),
+                    g_p, assigned_p.astype(jnp.int32),
+                ], axis=1)
+                w5 = w(og5)  # (nchunks, W, 5) int32
+                gw = w5[:, :, 3]
+                cassw = w5[:, :, 4] > 0
+                if fr is not None:
+                    cassw = cassw & fr
+                wfq = jnp.stack(
+                    [lane(i2f(w5[:, :, a])) for a in range(3)], 1)
                 wiq = jnp.stack(
-                    [lane(w(g_p)), lane(cass.astype(jnp.int32)),
-                     lane(w(g_p))], 1)
+                    [lane(gw), lane(cassw.astype(jnp.int32)), lane(gw)], 1)
                 bd2, col = pk.window_1nn(rows_fq, rows_iq, wfq, wiq,
                                          need=need_c)
                 return bd2, anc[:, None] + col
+            cass = w(assigned_p)
+            if fr is not None:
+                cass = cass & fr
             cwx, cwy, cwz = (w(orig_p[:, a])[:, ::-1] for a in range(3))
             cass = cass[:, ::-1]
             cgr = w(g_p)[:, ::-1]
