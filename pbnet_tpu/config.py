@@ -157,6 +157,13 @@ class Config:
     TEST_SCORE_THRESH: float = 0.07
     TEST_NPOINT_THRESH: int = 101
     test_epoch: int = 392
+    # val/test rgb jitter source: False (default) = deterministic per-scene
+    # RandomState(0), so eval metrics are reproducible run to run; True =
+    # the reference's behavior of drawing from the global numpy stream
+    # (/root/reference/datasets/scannetv2/dataset_preprocess.py:107 via
+    # valMerge), for checkpoint-parity evaluation under the exact published
+    # conditions.  See ARCHITECTURE.md "Known gaps".
+    val_jitter_global: bool = False
 
     # ---- distributed (config.py:59-64); TPU: devices on a 1-D data mesh ----
     local_rank: int = 0

@@ -790,8 +790,8 @@ class UNetTopology:
     level_overflow: jnp.ndarray = 0
     grid_overflow: jnp.ndarray = 0
     # banded one-hot conv plans (nn/onehot_conv.attach_plans); entries are
-    # OnehotPlan or None, aligned with k3_maps/down_maps/up_maps
-    stem_plan: "object" = None
+    # OnehotPlan or None, aligned with k3_maps/down_maps/up_maps (the k=5
+    # stem cannot band — its 125-offset window is wider than any usable span)
     k3_plans: tuple = ()
     down_plans: tuple = ()
     up_plans: tuple = ()

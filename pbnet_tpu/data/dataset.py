@@ -163,7 +163,10 @@ class Dataset:
             drop_mask = np.ones(orig_n, bool)
             drop_mask[keep] = False
             dropped_sem = np.asarray(sem_full)[drop_mask]
-        rng = np.random.RandomState(0)  # val path draws only the rgb jitter
+        # val path draws only the rgb jitter; deterministic per scene by
+        # default (reproducible eval), or the reference's global-stream
+        # behavior under cfg.val_jitter_global (dataset_preprocess.py:107)
+        rng = np.random if self.cfg.val_jitter_global else np.random.RandomState(0)
         scenes = []
         for i in range(3):
             xyz, rgb, nl = augment.data_augment(
@@ -323,7 +326,7 @@ class Dataset:
         fn = self.test_file_list[idx]
         s = self._load_scene(fn, with_labels=False, with_sup=True)
         s, keep, orig_n = self._fit_eval_scene(s, with_labels=False)
-        rng = np.random.RandomState(0)
+        rng = np.random if self.cfg.val_jitter_global else np.random.RandomState(0)
         scenes = []
         for i in range(3):
             xyz, rgb, nl = augment.data_augment(

@@ -241,7 +241,8 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
 
         if cfg.validation and (epoch % 4 == 0 or epoch == cfg.epochs):
             try:
-                evaluate(cfg, model, state, dataset, epoch, logger, writer)
+                evaluate(cfg, model, state, dataset, epoch, logger, writer,
+                         mesh=m if multi else None)
             except FileNotFoundError as e:
                 logger.info(f"validation skipped: {e}")
         if max_iters and total_iters >= max_iters:
@@ -252,7 +253,7 @@ def train(cfg: Config, dataset: Dataset | None = None, max_epochs: int | None = 
 
 def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None,
              max_scenes: int | None = None, test_mode: bool = False,
-             timing: dict | None = None):
+             timing: dict | None = None, mesh=None):
     """Validation: semantic mIoU + (past cluster_epoch) instance AP
     (/root/reference/train.py:123-304, eval_map.py:40-158).
 
@@ -260,6 +261,13 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     labels in the forward, so no proposals are skipped by GT-mode and no
     mask-accuracy meters (the reference's eval_map.py vs train.eval_epoch
     distinction, network/PBNet.py:164,206).
+
+    With ``mesh`` (>1 device), scenes are sharded over the mesh devices —
+    the reference's DistributedSampler-on-val equivalent (/root/reference/
+    datasets/scannetv2/dataset_preprocess.py:59): scenes of the same size
+    bucket are grouped N-at-a-time through one shard_map forward, outputs
+    unstacked, and the host metric work runs per scene exactly as in the
+    single-device path (so metrics are identical by construction).
     """
     with_instances = epoch > cfg.cluster_epoch
     use_labels = with_instances and not test_mode
@@ -316,8 +324,12 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
     n_scenes = len(dataset.val_file_list)
     if max_scenes:
         n_scenes = min(n_scenes, max_scenes)
-    def post_scene(i, batch, ret):
-        """Host-side per-scene metric work (runs on the overlap worker)."""
+    def scene_work(i, batch, ret):
+        """Host-side per-scene metric work — PURE (no shared state): fetch,
+        semantic histogram, mask stats, NMS/superpoint/AP assignment.  Runs
+        on the worker pool; the serial accumulation happens in merge_scene.
+        """
+        out = {}
         n = batch["num_points"]
         ov = (int(ret.get("overflow_vox", 0)) + int(ret.get("overflow_grid", 0))
               + int(ret.get("overflow_band", 0)))
@@ -330,71 +342,157 @@ def evaluate(cfg: Config, model, state, dataset, epoch, logger=None, writer=None
             )
         sem_pred = np.asarray(ret["sem_pred_p"])[:n]
         sem_lab = batch["sem_label"][:n]
-        inter, union, target = metrics.intersection_and_union(
+        out["iu"] = metrics.intersection_and_union(
             sem_pred, sem_lab, cfg.sem_num
         )
-        inter_m[:] += inter
-        union_m[:] += union
-        target_m[:] += target
         if batch.get("keep_idx") is not None:
             # cropped oversize scene: dropped points carry no prediction, so
             # their GT classes count as misses (honest vs the reference,
             # which never drops)
             dsem = batch["dropped_sem"]
-            cnt = np.bincount(
+            out["dropped_cnt"] = np.bincount(
                 dsem[(dsem >= 0) & (dsem < cfg.sem_num)], minlength=cfg.sem_num
             )[: cfg.sem_num]
-            union_m[:] += cnt
-            target_m[:] += cnt
 
         if with_instances and use_labels:
             pm = np.asarray(ret["mask_scores"]) >= 0.5
             gm = np.asarray(ret["gt_mask"])
             sv = np.asarray(ret["scene_valid"]) & (gm != -1.0)
             if sv.any():
-                all_acc.update(float((pm[sv] == (gm[sv] == 1.0)).mean()))
+                out["mask_all"] = float((pm[sv] == (gm[sv] == 1.0)).mean())
                 pos = sv & (gm == 1.0)
                 neg = sv & (gm == 0.0)
                 if pos.any():
-                    tp_acc.update(float(pm[pos].mean()))
+                    out["mask_tp"] = float(pm[pos].mean())
                 if neg.any():
-                    tf_acc.update(float(1.0 - pm[neg].mean()))
+                    out["mask_tf"] = float(1.0 - pm[neg].mean())
         if with_instances:
             pred_info = eval_scene_instances(ret, n, batch["sup"], cfg)
             if pred_info is None:
                 print("no cluster")
-                return
+                return out
             pred_info = scatter_cropped_masks(pred_info, batch)
             gt_file = os.path.join(gt_dir, batch["fn"] + ".txt")
             gt_ids = eval_protocol.load_gt_ids(gt_file)
             gt2pred, pred2gt = eval_protocol.assign_instances_for_scan(
                 batch["fn"], pred_info, gt_ids
             )
-            matches[batch["fn"]] = {"gt": gt2pred, "pred": pred2gt}
+            out["match"] = (batch["fn"], {"gt": gt2pred, "pred": pred2gt})
             print(f"complete {i}, has {pred_info['mask'].shape[0]} clts")
+        return out
 
-    # Three-way overlap per scene: the prefetch loader prepares scene i+1 on
-    # the host while the device runs scene i and a single worker thread does
-    # scene i-1's fetch + NMS/superpoint/AP assignment (the worker's value
-    # fetch is the sync point, so the main thread can dispatch the next
-    # forward immediately).  Window of 1 keeps at most two scenes' outputs
-    # live on device.  Single worker => post_scene runs serially, so its
-    # accumulator writes need no lock.
+    def merge_scene(out):
+        """Serial accumulator merge (main thread only)."""
+        inter, union, target = out["iu"]
+        inter_m[:] += inter
+        union_m[:] += union
+        target_m[:] += target
+        if "dropped_cnt" in out:
+            union_m[:] += out["dropped_cnt"]
+            target_m[:] += out["dropped_cnt"]
+        if "mask_all" in out:
+            all_acc.update(out["mask_all"])
+        if "mask_tp" in out:
+            tp_acc.update(out["mask_tp"])
+        if "mask_tf" in out:
+            tf_acc.update(out["mask_tf"])
+        if "match" in out:
+            fn, m_ = out["match"]
+            matches[fn] = m_
+
+    ndev = len(mesh.devices.flatten()) if mesh is not None else 1
+    # Overlap discipline: the prefetch loader prepares scene i+1 on the host
+    # while the device runs scene i and the worker pool runs earlier scenes'
+    # fetch + NMS/superpoint/AP assignment (scene_work — pure, so multiple
+    # workers run concurrently on multi-core hosts; the single-core
+    # measurement VM degenerates to the old serial behavior).  Accumulators
+    # are only touched by merge_scene on the main thread.  The bounded
+    # in-flight window also bounds how many scenes' outputs stay live on
+    # device.
+    pw = max(1, min((os.cpu_count() or 1) - 1, 8))
     loader = dataset.val_loader(max_scenes=n_scenes)
     t_loop = time.time()
     n_done = 0
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        pending = None
-        for i, batch in enumerate(loader):
-            dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
-            ret = fwd(state.params, state.batch_stats, dev,
-                      batch.get("shapes", cfg.shapes))
-            if pending is not None:
-                pending.result()
-            pending = pool.submit(post_scene, i, batch, ret)
-            n_done += 1
-        if pending is not None:
-            pending.result()
+    if ndev > 1:
+        # mesh path: group same-bucket scenes ndev-at-a-time through one
+        # shard_map step; a partial trailing group pads by repeating its
+        # first scene (padded outputs are discarded, never counted)
+        rep = mesh_lib.replicated(mesh)
+        params_r = jax.device_put(state.params, rep)
+        stats_r = jax.device_put(state.batch_stats, rep)
+        step_cache = {}
+
+        def mesh_step(shapes):
+            new = shapes not in step_cache
+            if new:
+                m2 = model if shapes == model.shapes else build_model(
+                    cfg, multi_device=True, shapes=shapes
+                )
+                step_cache[shapes] = make_eval_step(
+                    m2, mesh, with_instances, use_labels
+                )
+                k = f"p{shapes.point_cap}/v{shapes.voxel_caps[0]}"
+                while k in bucket_key.values():
+                    k += "'"
+                bucket_key[shapes] = k
+            return step_cache[shapes], new
+
+        with ThreadPoolExecutor(max_workers=pw) as pool:
+            pending = []
+
+            def flush(shapes, group):
+                nonlocal pending, n_done
+                step, new = mesh_step(shapes)
+                pad_n = ndev - len(group)
+                stack = mesh_lib.shard_batch(
+                    mesh,
+                    [device_batch(b) for _, b in group]
+                    + [device_batch(group[0][1])] * pad_n,
+                )
+                t0 = time.time()
+                ret = step(params_r, stats_r, stack)
+                if timing is not None:
+                    bk = bucket_key[shapes]
+                    if new:
+                        timing.setdefault("bucket_compile_s", {})[bk] = (
+                            round(time.time() - t0, 1)
+                        )
+                    h = timing.setdefault("bucket_scene_counts", {})
+                    h[bk] = h.get(bk, 0) + len(group)
+                while pending and len(pending) >= pw:  # window of 1 group
+                    merge_scene(pending.pop(0).result())
+                pending += [
+                    pool.submit(
+                        scene_work, i, b,
+                        jax.tree_util.tree_map(lambda x, j=j: x[j], ret),
+                    )
+                    for j, (i, b) in enumerate(group)
+                ]
+                n_done += len(group)
+
+            groups = {}
+            for i, batch in enumerate(loader):
+                sh_b = batch.get("shapes", cfg.shapes)
+                groups.setdefault(sh_b, []).append((i, batch))
+                if len(groups[sh_b]) == ndev:
+                    flush(sh_b, groups.pop(sh_b))
+            for sh_b in list(groups):
+                flush(sh_b, groups.pop(sh_b))
+            for p in pending:
+                merge_scene(p.result())
+    else:
+        with ThreadPoolExecutor(max_workers=pw) as pool:
+            pending = []
+            for i, batch in enumerate(loader):
+                dev = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+                ret = fwd(state.params, state.batch_stats, dev,
+                          batch.get("shapes", cfg.shapes))
+                while len(pending) >= pw:
+                    merge_scene(pending.pop(0).result())
+                pending.append(pool.submit(scene_work, i, batch, ret))
+                n_done += 1
+            for p in pending:
+                merge_scene(p.result())
     if timing is not None:
         wall = time.time() - t_loop
         timing["wall_s"] = round(wall, 2)

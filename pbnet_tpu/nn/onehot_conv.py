@@ -93,7 +93,10 @@ def build_onehot_plan(kmap: jnp.ndarray, kz: int, m_in: int,
     mins = jnp.min(jnp.where(pres, km4, big), axis=(1, 3))  # (nt, G)
     start = jnp.where(mins < big, mins, 0)
     start = (start // 16) * 16  # bf16 sublane alignment
-    start = jnp.clip(start, 0, m_in - span)
+    # clip to an ALIGNED upper bound: m_in - span itself is only 16-aligned
+    # when span % 16 == 0, and the kernel promises pl.multiple_of(start, 16)
+    # to Mosaic — an unaligned clipped start would mean wrong DMA slices
+    start = jnp.clip(start, 0, ((m_in - span) // 16) * 16)
     rel = km4 - start[:, None, :, None]
     ok = pres & (rel >= 0) & (rel < span)
     overflow = jnp.sum((pres & ~ok).astype(jnp.int32))

@@ -83,6 +83,10 @@ class ClusterResult(NamedTuple):
     cluster_valid: jnp.ndarray  # (C,) bool
     band_overflow: jnp.ndarray  # () int32 rows whose true window exceeded band
     nn_overflow: jnp.ndarray = np.int32(0)  # () rows past the exact-1NN cap
+    # () int32 label-propagation rounds run to fixpoint (diagnostic: trained
+    # offsets with noisy blobs may need more rounds than oracle content —
+    # PERF.md records the measured delta)
+    prop_rounds: jnp.ndarray = np.int32(0)
 
 
 def _group_l1_sort(shifted, group, valid):
@@ -479,7 +483,7 @@ def binary_cluster(
     # bounded while: early-exit at fixpoint (each iteration re-evaluates the
     # banded neighbor mask, the dominant cost; most scenes converge in a few
     # rounds thanks to the two pointer-jump hops per round)
-    _, _, label_p = jax.lax.while_loop(
+    prop_rounds, _, label_p = jax.lax.while_loop(
         prop_cond, prop_body, (jnp.int32(0), jnp.bool_(True), init_label_p)
     )
     if profile_stop == "prop":
@@ -771,4 +775,5 @@ def binary_cluster(
         cluster_valid=fvalid,
         band_overflow=band_overflow,
         nn_overflow=nn_overflow,
+        prop_rounds=prop_rounds,
     )

@@ -144,14 +144,17 @@ def make_train_step(model, cfg, mesh, tx, with_instances: bool):
     return step
 
 
-def make_eval_step(model, mesh, with_instances: bool):
-    """Jitted eval forward over the mesh (stats frozen, no labels needed)."""
+def make_eval_step(model, mesh, with_instances: bool, with_labels: bool = False):
+    """Jitted eval forward over the mesh: each device runs one scene batch
+    (the reference shards val scenes across GPUs via DistributedSampler,
+    /root/reference/datasets/scannetv2/dataset_preprocess.py:59); outputs come
+    back stacked along the device axis for per-scene host post-processing."""
 
     def per_device(params, batch_stats, batch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         ret = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch, with_instances=with_instances, with_labels=False,
+            batch, with_instances=with_instances, with_labels=with_labels,
             train=False,
         )
         return jax.tree_util.tree_map(lambda x: x[None], ret)

@@ -137,6 +137,25 @@ class TestConversion:
         np.testing.assert_allclose(np.sort(out.ravel()), np.sort(k.ravel()))
 
 
+def write_reference_pth(variables, path):
+    """Write variables as a reference-FORMAT .pth (torch tensors, ME module
+    names, ME x-fastest kernel offset order, {'model':..., 'optimizer':...}
+    payload per /root/reference/tools/log.py:104-116)."""
+    import torch
+
+    sd = synth_state_dict(variables)
+    tsd = {}
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k.endswith(".kernel") and v.ndim == 3:
+            kk = round(v.shape[0] ** (1 / 3))
+            inv = np.argsort(cc.me_offset_permutation(kk, "x_fastest"))
+            v = v[inv]  # store in ME x-fastest order
+        name = k if k.startswith("module.") else "module." + k
+        tsd[name] = torch.from_numpy(np.ascontiguousarray(v))
+    torch.save({"model": tsd, "optimizer": {}}, path)
+
+
 class TestReferencePthGolden:
     """Golden parity harness (round-2 VERDICT item 4): fabricate a
     reference-FORMAT .pth (torch tensors, ME module names, ME x-fastest
@@ -164,19 +183,7 @@ class TestReferencePthGolden:
         return model, batch, variables
 
     def _write_pth(self, variables, path):
-        import torch
-
-        sd = synth_state_dict(variables)
-        tsd = {}
-        for k, v in sd.items():
-            v = np.asarray(v)
-            if k.endswith(".kernel") and v.ndim == 3:
-                kk = round(v.shape[0] ** (1 / 3))
-                inv = np.argsort(cc.me_offset_permutation(kk, "x_fastest"))
-                v = v[inv]  # store in ME x-fastest order
-            name = k if k.startswith("module.") else "module." + k
-            tsd[name] = torch.from_numpy(np.ascontiguousarray(v))
-        torch.save({"model": tsd, "optimizer": {}}, path)
+        write_reference_pth(variables, path)
 
     def test_pth_roundtrip_exact(self, tmp_path):
         model, batch, variables = self._setup()

@@ -191,3 +191,43 @@ class TestMetricsExtras:
         d = np.array([0.1, 0.45, 0.9])
         s = metrics.get_center_scores(d)
         assert s[0] == 1.0 and s[2] == 0.0 and 0.0 < s[1] < 1.0
+
+
+class TestParityHarness:
+    def test_one_command_parity_smoke(self, rng, tmp_path):
+        """tools/parity_eval.py end to end on synthetic fixtures: fabricated
+        scenes -> decoded npy -> synthetic reference-FORMAT .pth -> convert ->
+        full instance eval -> AP table.  The same command runs the real
+        acceptance test the day ScanNet data + the reference .pth exist."""
+        from tests.test_convert import write_reference_pth
+        from tests.test_train import mini_cfg, prepare_dataset
+
+        import tools.parity_eval as pe
+        from pbnet_tpu import engine
+        from pbnet_tpu.data.dataset import Dataset
+
+        prepare_dataset(tmp_path, rng, n_scenes=1)
+        cfg = mini_cfg(tmp_path, cluster_epoch=-1, epochs=1)
+
+        # a reference-format checkpoint carrying a freshly initialized state
+        ds = Dataset(cfg)
+        sample = ds.val_batch(0)
+        init_model = engine.build_model(cfg, False, shapes=sample.get("shapes"))
+        state, _ = engine.init_state(
+            init_model, cfg, engine.device_batch(sample), cfg.manual_seed
+        )
+        pth = str(tmp_path / "000000001.pth")
+        write_reference_pth(
+            {"params": state.params, "batch_stats": state.batch_stats}, pth
+        )
+
+        res = pe.main(
+            ["--pth", pth, "--data_root", str(tmp_path), "--max_scenes", "1"],
+            cfg=cfg,
+        )
+        # random weights produce junk predictions; the contract here is the
+        # end-to-end glue: decode -> convert (no unmatched leaves) -> eval ->
+        # metric dict with the AP fields present and in range
+        assert 0.0 <= res["mIoU"] <= 1.0
+        if "mAP" in res:  # absent only if no scene yields proposals
+            assert 0.0 <= res["mAP"] <= 1.0

@@ -42,9 +42,9 @@ def prepare_dataset(tmp_path, rng, n_scenes=4):
         decode_scene(os.path.join(scans, nm + "_vh_clean_2.ply"), out, None)
         names.append(nm)
     np.savetxt(str(tmp_path / "scannetv2_train.txt"), names, fmt="%s")
-    np.savetxt(str(tmp_path / "scannetv2_val.txt"), names[:1], fmt="%s")
+    np.savetxt(str(tmp_path / "scannetv2_val.txt"), names[:3], fmt="%s")
     np.savetxt(str(tmp_path / "scannetv2_test.txt"), names[:1], fmt="%s")
-    write_val_gt(out, names[:1], str(tmp_path / "val_gt"))
+    write_val_gt(out, names[:3], str(tmp_path / "val_gt"))
 
 
 def mini_cfg(tmp_path, **kw):
@@ -167,11 +167,23 @@ class TestEngine:
         ds = Dataset(cfg)
         model = engine.build_model(cfg, multi_device=False)
         timing = {}
-        res = engine.evaluate(cfg, model, state, ds, epoch=1, max_scenes=1,
+        res = engine.evaluate(cfg, model, state, ds, epoch=1, max_scenes=3,
                               timing=timing)
         assert 0.0 <= res["mIoU"] <= 1.0
         # throughput observability (eval_throughput.py's contract)
-        assert timing["scenes"] == 1 and timing["wall_s"] > 0
-        assert sum(timing["bucket_scene_counts"].values()) == 1
-        assert len(timing["bucket_compile_s"]) == 1
+        assert timing["scenes"] == 3 and timing["wall_s"] > 0
+        assert sum(timing["bucket_scene_counts"].values()) == 3
         assert timing["scenes_per_sec_warm"] >= timing["scenes_per_sec"]
+
+        # multi-device eval: scenes sharded 2-per-step over a 2-device mesh
+        # (the reference's DistributedSampler-on-val equivalent) must produce
+        # IDENTICAL metrics to the single-device loop above.  3 scenes on 2
+        # devices covers both a full group and the padded trailing group
+        # (whose pad output must be discarded, never counted).
+        mesh = mesh_lib.make_mesh(2)
+        timing2 = {}
+        res2 = engine.evaluate(cfg, model, state, ds, epoch=1, max_scenes=3,
+                               timing=timing2, mesh=mesh)
+        assert timing2["scenes"] == 3
+        for k in res:
+            np.testing.assert_allclose(res2[k], res[k], rtol=1e-6, err_msg=k)
