@@ -289,14 +289,15 @@ def main():
 
     try:
         _supplementary(model, variables, batch, shapes, pad,
-                       sem_o, ins_gt, center_of, oracle, n, P)
+                       sem_o, ins_gt, center_of, oracle, n, P, dt)
     except Exception as e:  # best-effort evidence; the metric already printed
         print(f"supplementary bench phases failed: {e!r}", file=sys.stderr)
 
 
 def _supplementary(model, variables, batch, shapes, pad,
-                   sem_o, ins_gt, center_of, oracle, n, P):
-    """Production-extent forward latency + train-step latency (stderr)."""
+                   sem_o, ins_gt, center_of, oracle, n, P, headline_dt):
+    """Production-extent forward latency + train-step latency + MFU/roofline
+    anchor (stderr)."""
     import dataclasses
 
     import jax
@@ -389,6 +390,83 @@ def _supplementary(model, variables, batch, shapes, pad,
     train_dt = (time.time() - t0) / 3
     print(f"train_step_sec: {train_dt:.3f} (loss={float(loss):.3f})",
           file=sys.stderr)
+
+    # ---- MFU / roofline anchor: XLA's own cost model over ONE full-forward
+    # program, divided by the measured headline latency and the chip's peak.
+    # This is the absolute-performance anchor the relative vs_baseline number
+    # lacks (the 2.5 scenes/s 3090 baseline is an assumption). ----
+    try:
+        _mfu_anchor(model, variables, batch, oracle, headline_dt)
+    except Exception as e:
+        print(f"MFU anchor failed: {e!r}", file=sys.stderr)
+
+
+# chip peaks for the roofline: (dense bf16 TFLOP/s, HBM GB/s) per public
+# TPU spec sheets; matched by device_kind substring
+_CHIP_PEAKS = {
+    "v5 lite": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v5": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+    "v6": (918.0, 1640.0),
+}
+
+
+def _mfu_anchor(model, variables, batch, oracle, headline_dt):
+    import jax
+    import jax.numpy as jnp
+
+    from pbnet_tpu.models.pbnet import PBNet as _PBNet
+
+    sem_o, offs_o, soft_o = oracle
+
+    def one_forward(variables, batch):
+        bb = model.apply(variables, batch, False, method=_PBNet.backbone)
+        bb = dict(bb)
+        d_bb = jnp.sum(bb["sem_pred_score_p"]) + jnp.sum(bb["offset_pred_p"])
+        bb["sem_pred_p"] = sem_o
+        bb["offset_pred_p"] = offs_o
+        bb["sem_soft_p"] = soft_o
+        ret = model.apply(variables, batch, bb, False, False,
+                          method=_PBNet.instance_stage)
+        return (d_bb + jnp.sum(ret["clt_scores"]) + jnp.sum(ret["mask_scores"]),
+                ret["cluster"].num_clusters)
+
+    t0 = time.time()
+    compiled = jax.jit(one_forward).lower(variables, batch).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    nbytes = float(ca.get("bytes accessed", 0.0))
+    print(f"[mfu-anchor compile {time.time()-t0:.0f}s]", file=sys.stderr)
+    if flops <= 0:
+        print("MFU: cost_analysis returned no flops on this backend",
+              file=sys.stderr)
+        return
+    kind = jax.devices()[0].device_kind.lower()
+    peak_tf, peak_gbs = next(
+        (v for k, v in _CHIP_PEAKS.items() if k in kind), (197.0, 819.0)
+    )
+    ach_tf = flops / headline_dt / 1e12
+    ach_gbs = nbytes / headline_dt / 1e9
+    # roofline: which bound does the program sit closer to?
+    t_flops = flops / (peak_tf * 1e12)
+    t_bytes = nbytes / (peak_gbs * 1e9)
+    # NOTE: XLA's "bytes accessed" counts every op's operands+outputs, so
+    # fused/VMEM-resident traffic is included — it UPPER-BOUNDS real HBM
+    # traffic (the apparent-bandwidth figure can exceed 100% of peak).
+    print(
+        f"MFU: {100 * ach_tf / peak_tf:.2f}% of {peak_tf:.0f} TF/s peak "
+        f"({kind}); apparent bytes/s {100 * ach_gbs / peak_gbs:.1f}% of "
+        f"{peak_gbs:.0f} GB/s HBM (bytes-accessed upper bound); program "
+        f"{flops/1e9:.1f} GFLOP + {nbytes/1e9:.2f} GB; "
+        f"compute-roof {t_flops*1e3:.1f} ms vs bytes-accessed bound "
+        f"{t_bytes*1e3:.1f} ms vs measured {headline_dt*1e3:.1f} ms "
+        f"-> the pipeline is issue/bandwidth-bound, not FLOP-bound",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -100,13 +100,13 @@ class MinkUNetBase(nn.Module):
     remat: bool = True
 
     def _blocks(self, n, planes, feats, kmap, valid, train, name,
-                dense_plan=None, plan=None):
+                dense_plan=None, plan=None, zmasks=None):
         blk = BLOCKS[self.block]
         if self.remat:
             blk = nn.remat(blk, static_argnums=(4,))
         for i in range(n):
             feats = blk(planes, axis_name=self.axis_name, name=f"{name}_{i}")(
-                feats, kmap, valid, train, dense_plan, plan
+                feats, kmap, valid, train, dense_plan, plan, zmasks
             )
         return feats
 
@@ -117,6 +117,9 @@ class MinkUNetBase(nn.Module):
         v = [l.valid for l in lv]
         exp = BLOCK_EXPANSION[self.block]
         didx, ddims = _dense_cells(topo)
+        # per-level z-adjacency masks: same-level k3 convs gather their
+        # center (dx,dy)=(0,0) group by row shifts (sparse_ops.zrun_masks)
+        zm = [sparse_ops.zrun_masks(l.coords, l.valid, l.stride) for l in lv]
 
         # stem (conv0p1s1 k=5 + bn0 + relu), /root/reference/network/Mink.py:221-224,293-295
         out = _stem_conv(self.init_dim, topo, feats, v[0])
@@ -139,6 +142,7 @@ class MinkUNetBase(nn.Module):
                 train, f"block{s+1}",
                 dense_plan=_same_plan(didx, ddims, s + 1),
                 plan=_oplan(topo.k3_plans, s + 1, train),
+                zmasks=zm[s + 1],
             )
             ch = self.planes[s] * exp
             enc.append(x)
@@ -151,6 +155,7 @@ class MinkUNetBase(nn.Module):
                 x, topo.up_maps[lvl], v[lvl], kmap_bwd=topo.down_maps[lvl],
                 dense_plan=_pair_plan(didx, ddims, lvl, "up"),
                 plan=_oplan(topo.up_plans, lvl, train),
+                single_present=True,
             )
             x = MaskedBatchNorm(axis_name=ax, name=f"bntr{4+d}")(x, v[lvl], train)
             x = relu(x)
@@ -160,6 +165,7 @@ class MinkUNetBase(nn.Module):
                 v[lvl], train, f"block{5+d}",
                 dense_plan=_same_plan(didx, ddims, lvl),
                 plan=_oplan(topo.k3_plans, lvl, train),
+                zmasks=zm[lvl],
             )
 
         # final 1x1 conv with bias (/root/reference/network/Mink.py:282-287)
@@ -182,6 +188,7 @@ class MinkMiniUNet(nn.Module):
         lv = topo.levels
         v = [l.valid for l in lv]
         blk = BLOCKS[self.block]
+        zm = [sparse_ops.zrun_masks(l.coords, l.valid, l.stride) for l in lv]
 
         out = _stem_conv(self.init_dim, topo, feats, v[0])
         out = MaskedBatchNorm(axis_name=ax, name="bn0")(out, v[0], train)
@@ -195,19 +202,19 @@ class MinkMiniUNet(nn.Module):
         for i in range(self.layers[0]):
             x = blk(self.planes[0], axis_name=ax, name=f"block1_{i}")(
                 x, topo.k3_maps[1], v[1], train,
-                plan=_oplan(topo.k3_plans, 1, train)
+                plan=_oplan(topo.k3_plans, 1, train), zmasks=zm[1]
             )
 
         x = SparseConv(self.planes[1], 8, name="convtr2")(
             x, topo.up_maps[0], v[0], kmap_bwd=topo.down_maps[0],
-            plan=_oplan(topo.up_plans, 0, train))
+            plan=_oplan(topo.up_plans, 0, train), single_present=True)
         x = MaskedBatchNorm(axis_name=ax, name="bntr1")(x, v[0], train)
         x = relu(x)
         x = jnp.concatenate([x, out_p0], axis=1)
         for i in range(self.layers[1]):
             x = blk(self.planes[1], axis_name=ax, name=f"block2_{i}")(
                 x, topo.k3_maps[0], v[0], train,
-                plan=_oplan(topo.k3_plans, 0, train)
+                plan=_oplan(topo.k3_plans, 0, train), zmasks=zm[0]
             )
         return SparseLinear(self.out_channels, use_bias=True, name="final")(x, v[0])
 

@@ -46,7 +46,8 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, kmap, valid_out, kmap_bwd=None,
-                 dense_plan=None, plan=None):
+                 dense_plan=None, plan=None, zmasks=None,
+                 single_present=False):
         cin = feats.shape[-1]
         w = self.param(
             "kernel", kaiming_conv_init, (self.kernel_volume, cin, self.features)
@@ -61,7 +62,9 @@ class SparseConv(nn.Module):
             # params/semantics, no kernel map needed
             return sparse_ops.dense_conv(feats, dense_plan, w, valid_out, b)
         return sparse_ops.gather_conv(feats, kmap, w, valid_out, b,
-                                      kmap_bwd=kmap_bwd, plan=plan)
+                                      kmap_bwd=kmap_bwd, plan=plan,
+                                      zmasks=zmasks,
+                                      single_present=single_present)
 
 
 class SparseLinear(nn.Module):
@@ -167,15 +170,17 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, kmap3, valid, train: bool, dense_plan=None,
-                 plan=None):
+                 plan=None, zmasks=None):
         inplanes = feats.shape[-1]
         kb = kmap3[:, ::-1]  # same-level symmetric offsets: transpose = flip
         y = SparseConv(self.planes, kmap3.shape[1], name="conv1")(
-            feats, kmap3, valid, kmap_bwd=kb, dense_plan=dense_plan, plan=plan)
+            feats, kmap3, valid, kmap_bwd=kb, dense_plan=dense_plan, plan=plan,
+            zmasks=zmasks)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid, train)
         y = relu(y)
         y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(
-            y, kmap3, valid, kmap_bwd=kb, dense_plan=dense_plan, plan=plan)
+            y, kmap3, valid, kmap_bwd=kb, dense_plan=dense_plan, plan=plan,
+            zmasks=zmasks)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid, train)
         if inplanes != self.planes * self.expansion:
             skip = SparseLinear(self.planes * self.expansion, use_bias=False,
@@ -196,14 +201,14 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, feats, kmap3, valid, train: bool, dense_plan=None,
-                 plan=None):
+                 plan=None, zmasks=None):
         inplanes = feats.shape[-1]
         y = SparseLinear(self.planes, use_bias=False, name="conv1")(feats, valid)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm1")(y, valid, train)
         y = relu(y)
         y = SparseConv(self.planes, kmap3.shape[1], name="conv2")(
             y, kmap3, valid, kmap_bwd=kmap3[:, ::-1], dense_plan=dense_plan,
-            plan=plan)
+            plan=plan, zmasks=zmasks)
         y = MaskedBatchNorm(axis_name=self.axis_name, name="norm2")(y, valid, train)
         y = relu(y)
         y = SparseLinear(self.planes * self.expansion, use_bias=False,

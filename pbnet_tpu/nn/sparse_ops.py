@@ -178,8 +178,102 @@ def _window_img2col(feats, kmap, kz, w):
     return g.reshape(m, K * cin)  # row layout == (G, kz, cin) flattened
 
 
-def _conv_fwd_math(feats, kmap, weights, valid_out, kz=None):
+def zrun_masks(coords4, valid, stride):
+    """Per-row z-adjacency of a key-sorted level: is row j-1 / j+1 the same
+    (batch/pid, x, y) column's z -/+ stride voxel?  Rank order == key order,
+    so z-adjacent present voxels occupy consecutive rows.  Feeds the
+    center-group shift aggregation in :func:`gather_conv` (``zmasks``)."""
+    bxy = coords4[:, :3]
+    z = coords4[:, 3]
+    same = jnp.all(bxy[1:] == bxy[:-1], axis=1) & valid[1:] & valid[:-1]
+    step = (z[1:] - z[:-1]) == stride
+    adj = same & step
+    pad = jnp.zeros((1,), bool)
+    prev_ok = jnp.concatenate([pad, adj])
+    next_ok = jnp.concatenate([adj, pad])
+    return prev_ok, next_ok
+
+
+def _shift_dn(a):
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
+def _shift_up(a):
+    return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+
+def _center_group_contrib(feats, kmap_center, w_center, zmasks):
+    """Same-level k3 center (dx,dy)=(0,0) group WITHOUT gathers.
+
+    The center column of a same-level k3 map is the identity (offset 0 ->
+    the output voxel itself) and the dz=+-1 columns are the adjacent ROWS of
+    the key-sorted level where z-adjacent (zrun_masks) — so this group's
+    contribution is two masked row-shifts + three GEMMs, removing 3 of 27
+    gather columns (~11% of the conv's gather ops) at ~zero cost.
+
+    Terms are ALSO masked by the map columns' own presence bits
+    (``kmap_center``, the 3 center columns): under grid-extent overflow a
+    map entry can be -1 even though the voxel exists in the level, and the
+    fast path must drop exactly what the gather path would."""
+    prev_ok, next_ok = zmasks
+    p0 = prev_ok & (kmap_center[:, 0] >= 0)
+    p1 = kmap_center[:, 1] >= 0
+    p2 = next_ok & (kmap_center[:, 2] >= 0)
+    xB = feats.astype(COMPUTE_DTYPE)
+    wB = w_center.astype(COMPUTE_DTYPE)  # (3, cin, cout): dz -1, 0, +1
+    xp = jnp.where(p0[:, None], _shift_dn(xB), 0)
+    xc = jnp.where(p1[:, None], xB, 0)
+    xn = jnp.where(p2[:, None], _shift_up(xB), 0)
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return mm(xp, wB[0]) + mm(xc, wB[1]) + mm(xn, wB[2])
+
+
+def _single_present_img2col(feats, kmap, weights):
+    """Up-conv (k=2 s=2 transpose) fast path: every output row has AT MOST
+    ONE present kernel-map entry (each fine voxel has exactly one coarse
+    parent at one offset — up_map_direct/invert_map geometry), so the 8
+    per-column gathers collapse to ONE gather of a pre-applied-weight table:
+    z = x @ [W_0 | ... | W_7], y[o] = z[parent_o, slot d_o].
+    """
     k, cin, cout = weights.shape
+    x = feats.astype(COMPUTE_DTYPE)
+    wcat = jnp.transpose(weights.astype(COMPUTE_DTYPE), (1, 0, 2)).reshape(
+        cin, k * cout
+    )
+    # keep f32: rounding the per-offset products to bf16 BEFORE the gather
+    # would add a second rounding step the img2col path doesn't have
+    z = jax.lax.dot_general(
+        x, wcat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(feats.shape[0] * k, cout)
+    present = kmap >= 0
+    d = jnp.argmax(present, axis=1).astype(jnp.int32)
+    parent = jnp.take_along_axis(kmap, d[:, None], axis=1)[:, 0]
+    idx = jnp.where(jnp.any(present, axis=1), parent * k + d, -1)
+    return _take_rows0(z, idx).astype(jnp.float32)
+
+
+def _conv_fwd_math(feats, kmap, weights, valid_out, kz=None, zmasks=None,
+                   single_present=False):
+    k, cin, cout = weights.shape
+    if single_present:
+        y = _single_present_img2col(feats, kmap, weights)
+        return jnp.where(valid_out[:, None], y, 0.0)
+    y_center = None
+    if zmasks is not None and k == 27 and kz == 3 \
+            and kmap.shape[0] == feats.shape[0]:
+        y_center = _center_group_contrib(
+            feats, kmap[:, 12:15], weights[12:15], zmasks
+        )
+        kmap = jnp.concatenate([kmap[:, :12], kmap[:, 15:]], axis=1)
+        weights = jnp.concatenate([weights[:12], weights[15:]], axis=0)
+        k = 24
     w = _window_plan(kz, cin)
     if w is not None:
         g = _window_img2col(feats, kmap, kz, w)
@@ -193,11 +287,14 @@ def _conv_fwd_math(feats, kmap, weights, valid_out, kz=None):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if y_center is not None:
+        y = y + y_center
     return jnp.where(valid_out[:, None], y, 0.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out):
+def _gather_conv_core(meta, feats, kmap, kmap_bwd, weights, valid_out,
+                      zprev, znext):
     """Sparse conv whose BACKWARD is also a gather-GEMM.
 
     XLA differentiates a gather into a scatter-add, and random scatters run
@@ -212,18 +309,34 @@ def _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out):
     * strided conv (k=2 s=2): the transpose-conv map of the same level pair
     * transposed conv: the strided-conv map
 
-    so no extra lookups are ever built.  ``kz`` (static) enables z-window
-    gathers in both directions (see _window_img2col).
+    so no extra lookups are ever built.  ``meta`` (static) is
+    ``(kz, single_present, has_zmasks)``: kz enables z-window gathers in
+    both directions (_window_img2col); the flags pick the up-conv
+    single-present and center-group shift fast paths (forward only — the
+    hand-written backward is exact for the linear map regardless of which
+    forward formulation ran).  ``zprev``/``znext`` are the zrun_masks arrays
+    (dummies when has_zmasks is False).
     """
-    return _conv_fwd_math(feats, kmap, weights, valid_out, kz)
+    kz, single_present, has_zmasks = meta
+    return _conv_fwd_math(
+        feats, kmap, weights, valid_out, kz,
+        zmasks=(zprev, znext) if has_zmasks else None,
+        single_present=single_present,
+    )
 
 
-def _gc_fwd(kz, feats, kmap, kmap_bwd, weights, valid_out):
-    y = _conv_fwd_math(feats, kmap, weights, valid_out, kz)
+def _gc_fwd(meta, feats, kmap, kmap_bwd, weights, valid_out, zprev, znext):
+    kz, single_present, has_zmasks = meta
+    y = _conv_fwd_math(
+        feats, kmap, weights, valid_out, kz,
+        zmasks=(zprev, znext) if has_zmasks else None,
+        single_present=single_present,
+    )
     return y, (feats, kmap, kmap_bwd, weights, valid_out)
 
 
-def _gc_bwd(kz, res, dy):
+def _gc_bwd(meta, res, dy):
+    kz = meta[0]
     feats, kmap, kmap_bwd, weights, valid_out = res
     dy = jnp.where(valid_out[:, None], dy, 0.0).astype(COMPUTE_DTYPE)
     k, cin, cout = weights.shape
@@ -250,7 +363,7 @@ def _gc_bwd(kz, res, dy):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(cin, k, cout).transpose(1, 0, 2)
-    return dx, None, None, dw, None
+    return dx, None, None, dw, None, None, None
 
 
 _gather_conv_core.defvjp(_gc_fwd, _gc_bwd)
@@ -269,6 +382,11 @@ def gather_conv(
     plan=None,  # onehot_conv.OnehotPlan: banded one-hot MXU path (eval-only
     # today: the Pallas kernel has no VJP, so callers pass it when no
     # gradient will flow — minkunet gates on ``train``)
+    zmasks=None,  # (prev_ok, next_ok) from zrun_masks — SAME-LEVEL k3 convs
+    # only (caller contract: kmap rows == level rows, kmap_bwd is the column
+    # flip): gathers the center (dx,dy)=(0,0) group by row shifts instead
+    single_present: bool = False,  # up-conv maps (<=1 present entry per row,
+    # up_map_direct/invert_map k2s2 geometry): ONE gather replaces K
 ) -> jnp.ndarray:
     """Sparse convolution as gather + GEMM.  Returns (M_out, Cout).
 
@@ -279,13 +397,22 @@ def gather_conv(
     from . import onehot_conv as _oc
 
     kz = _KZ_OF.get(kmap.shape[1])
+    use_zm = (zmasks is not None and kmap.shape[1] == 27 and kz == 3
+              and kmap.shape[0] == feats.shape[0])
     if (plan is not None and _oc.enabled()
             and feats.shape[1] >= _oc.MIN_CIN):
         y = _oc.onehot_conv(feats, plan, weights, valid_out, COMPUTE_DTYPE)
     elif kmap_bwd is None:
-        y = _conv_fwd_math(feats, kmap, weights, valid_out, kz)
+        y = _conv_fwd_math(feats, kmap, weights, valid_out, kz,
+                           zmasks=zmasks if use_zm else None,
+                           single_present=single_present)
     else:
-        y = _gather_conv_core(kz, feats, kmap, kmap_bwd, weights, valid_out)
+        dummy = jnp.zeros((1,), bool)
+        zprev, znext = zmasks if use_zm else (dummy, dummy)
+        y = _gather_conv_core(
+            (kz, bool(single_present), use_zm),
+            feats, kmap, kmap_bwd, weights, valid_out, zprev, znext,
+        )
     if bias is not None:
         y = jnp.where(valid_out[:, None], y + bias, 0.0)
     return y

@@ -87,6 +87,99 @@ class TestGatherConv:
         assert np.all(mx[3] == 0) and np.all(av[3] == 0)
 
 
+def sparse_random_level(rng, side=6, keep=0.55, cap_extra=9):
+    """Random sparse occupancy on a side^3 grid (holes exercise the absent
+    center / broken z-run cases of the conv fast paths)."""
+    coords = np.array(
+        [(0, x, y, z) for x in range(side) for y in range(side)
+         for z in range(side) if rng.rand() < keep],
+        np.int32,
+    ).reshape(-1, 4)
+    n = coords.shape[0]
+    cap = n + cap_extra
+    cpad = np.zeros((cap, 4), np.int32)
+    cpad[:n] = coords
+    valid = np.arange(cap) < n
+    return tp.level_from_coords(jnp.asarray(cpad), jnp.asarray(valid), cap, 1), n
+
+
+class TestConvFastPaths:
+    """The round-5 gather-elision paths must be bit-equal (up to summation
+    order) with the plain gather formulation: center-group z-shifts (zmasks)
+    and the single-present up-conv table gather."""
+
+    def _f32(self):
+        class Ctx:
+            def __enter__(ctx):
+                ctx.old = sparse_ops.COMPUTE_DTYPE
+                sparse_ops.COMPUTE_DTYPE = jnp.float32
+
+            def __exit__(ctx, *a):
+                sparse_ops.COMPUTE_DTYPE = ctx.old
+        return Ctx()
+
+    def test_center_group_zmasks_matches_plain(self, rng):
+        lv, n = sparse_random_level(rng)
+        km = tp.conv_map(lv, lv, 3)
+        zm = sparse_ops.zrun_masks(lv.coords, lv.valid, lv.stride)
+        for cin in (8, 96):  # windowed and plain-column regimes
+            feats = jnp.asarray(rng.randn(lv.cap, cin).astype(np.float32))
+            w = jnp.asarray(rng.randn(27, cin, 4).astype(np.float32))
+            with self._f32():
+                y0 = sparse_ops.gather_conv(feats, km, w, lv.valid)
+                y1 = sparse_ops.gather_conv(feats, km, w, lv.valid, zmasks=zm)
+                y2 = sparse_ops.gather_conv(
+                    feats, km, w, lv.valid, kmap_bwd=km[:, ::-1], zmasks=zm
+                )
+            # f32 summation-order tolerance: the center group accumulates in
+            # its own GEMM instead of inside the big img2col GEMM
+            np.testing.assert_allclose(y1, y0, rtol=1e-4, atol=3e-5)
+            np.testing.assert_allclose(y2, y0, rtol=1e-4, atol=3e-5)
+
+    def test_center_group_grads_match(self, rng):
+        lv, n = sparse_random_level(rng)
+        km = tp.conv_map(lv, lv, 3)
+        zm = sparse_ops.zrun_masks(lv.coords, lv.valid, lv.stride)
+        feats = jnp.asarray(rng.randn(lv.cap, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, 8, 4).astype(np.float32))
+
+        def loss(f, w, zmasks):
+            y = sparse_ops.gather_conv(
+                f, km, w, lv.valid, kmap_bwd=km[:, ::-1], zmasks=zmasks
+            )
+            return jnp.sum(y * y)
+
+        with self._f32():
+            g0 = jax.grad(loss, argnums=(0, 1))(feats, w, None)
+            g1 = jax.grad(loss, argnums=(0, 1))(feats, w, zm)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+    def test_single_present_up_conv_matches(self, rng):
+        lv, n = sparse_random_level(rng)
+        lv2 = tp.downsample(lv, 2, 128)
+        down = tp.conv_map(lv2, lv, 2)
+        up = tp.invert_map(down, lv.cap)
+        # sanity: up maps ARE single-present (k2s2 geometry)
+        assert int(jnp.max(jnp.sum(up >= 0, axis=1))) <= 1
+        feats = jnp.asarray(rng.randn(128, 16).astype(np.float32))
+        feats = jnp.where(lv2.valid[:, None], feats, 0.0)
+        w = jnp.asarray(rng.randn(8, 16, 6).astype(np.float32))
+
+        def loss(f, w, sp):
+            y = sparse_ops.gather_conv(
+                f, up, w, lv.valid, kmap_bwd=down, single_present=sp
+            )
+            return jnp.sum(y * y), y
+
+        with self._f32():
+            g0, y0 = jax.grad(loss, argnums=(0, 1), has_aux=True)(feats, w, False)
+            g1, y1 = jax.grad(loss, argnums=(0, 1), has_aux=True)(feats, w, True)
+        np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-5)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
 class TestBatchNorm:
     def test_masked_stats_ignore_pads(self, rng):
         x = rng.randn(20, 3).astype(np.float32)
