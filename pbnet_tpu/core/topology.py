@@ -186,6 +186,18 @@ def _stack_xy(packed: jnp.ndarray, dims: tuple, radius: int) -> jnp.ndarray:
     Returns (B*X*Y*Zp + 1, (2r+1)^2) int32; out-of-extent shifts hold 0
     (decodes to "no voxels"); the last row is an all-zero dummy for
     out-of-range queries.
+
+    NOTE (round 5): the stack-axis-1 store pattern looks terrible in
+    isolation (24 ms for the 1.06 GB L0 stack; stride-4B column stores) and
+    five rewrites were measured — axis-0 stack + forced transpose (24.2),
+    32-lane chunk concat (28.2), one-hot broadcast sum (22.1), a Pallas
+    strided-store kernel (166!), and an exact-f32 depthwise-conv build
+    (16.9 isolated, but DEFAULT conv precision mangles the packed integers
+    to bf16, and with that fixed it is end-to-end NEUTRAL anyway).  The
+    build is hidden by pipeline scheduling in situ (same conclusion as the
+    r4 XY_STACK_MAX_BYTES=0 A/B): end-to-end 236.1 vs 235.6 ms.  Keep the
+    simple exact formulation; do not retry without new evidence
+    (perf/micro_stemmap.py has the harness).
     """
     B, X, Y, _ = dims
     zp = packed.shape[0] // (B * X * Y + 1)

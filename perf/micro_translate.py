@@ -92,70 +92,98 @@ lv2 = tp.level_from_coords(jnp.asarray(lc_p), lvalid, NL, 1)
 pid_batch = jnp.zeros((128,), jnp.int32)
 
 
-@jax.jit
-def build_grid(lv2, pid_batch):
-    return tp.build_pid_grid(lv2, topo.levels[0], topo.grids[0], pid_batch, 128)
+def build_grid(lv2, main_level, main_grid, pid_batch):
+    return tp.build_pid_grid(lv2, main_level, main_grid, pid_batch, 128)
 
 
-grid = build_grid(lv2, pid_batch)
+# pass all big arrays as ARGUMENTS: closure-captured consts get serialized
+# into the remote-compile request and blow its size limit (HTTP 413)
+grid = jax.jit(build_grid)(lv2, topo.levels[0], topo.grids[0], pid_batch)
+jax.block_until_ready(grid.packed)
 print("grid built", file=sys.stderr)
 
+pids = lv2.coords[:, 0]
+stem_map = topo.stem_map
 
-def timeit(name, fn, iters=20):
+
+def timeit(name, fn, args, iters=20):
     f = jax.jit(fn)
     t0 = time.time()
-    _ = float(f(2))
+    _ = float(f(*args, 2))
     print(f"  [{name} compile {time.time()-t0:.0f}s]", flush=True)
     t0 = time.time()
-    _ = float(f(iters))
+    _ = float(f(*args, iters))
     dt = (time.time() - t0) / iters * 1e3
     print(f"{name}: {dt:.2f} ms", flush=True)
     return dt
 
 
-pids = lv2.coords[:, 0]
-
-
-def full_translate(r):
+def full_translate(grid, stem_map, pids, r):
     def body(_, acc):
-        g = tp._take_km_rows(topo.stem_map, grid.g_of_row)
+        g = tp._take_km_rows(stem_map, grid.g_of_row)
         out = grid.translate(pids, g + (acc * 0).astype(jnp.int32), kz=5)
         return jnp.sum(out.astype(jnp.float32) * 1e-6)
     return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
 
 
-def km_rows_only(r):
+def km_rows_only(grid, stem_map, pids, r):
     def body(_, acc):
-        g = tp._take_km_rows(topo.stem_map, grid.g_of_row + (acc*0).astype(jnp.int32))
+        g = tp._take_km_rows(stem_map, grid.g_of_row + (acc * 0).astype(jnp.int32))
         return jnp.sum(g.astype(jnp.float32) * 1e-6)
     return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
 
 
-def window_gather_only(r):
-    # reproduce translate up to (and including) the packed-table gather
-    g_km = tp._take_km_rows(topo.stem_map, grid.g_of_row)
-    mm, K = g_km.shape
+def window_gather_only(grid, stem_map, pids, r):
+    mm, K = stem_map.shape[0], stem_map.shape[1]
     kz = 5
-    k2 = K // kz
 
     def body(_, acc):
-        g = g_km + (acc * 0).astype(jnp.int32)
-        gt = g.reshape(mm * k2, kz).T
+        g = tp._take_km_rows(stem_map, grid.g_of_row + (acc * 0).astype(jnp.int32))
+        m2, K2 = g.shape
+        k2 = K2 // kz
+        gt = g.reshape(m2 * k2, kz).T
         present = gt >= 0
         any_p = jnp.any(present, axis=0)
         gmin = jnp.min(jnp.where(present, gt, np.int32(2**31 - 1)), axis=0)
         gmax = jnp.max(jnp.where(present, gt, -1), axis=0)
         anchor = (gmin + gmax) // 2
         size = grid.pid_cap * grid.main_cap
-        pid_r = jnp.repeat(pids, k2, total_repeat_length=mm * k2)
+        pid_r = jnp.repeat(pids, k2, total_repeat_length=m2 * k2)
         base = jnp.where(any_p, pid_r * grid.main_cap + anchor, size)
         win = jnp.take(grid.packed, jnp.minimum(base, size), axis=0)
         return jnp.sum(win.astype(jnp.float32) * 1e-9)
     return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
 
 
-t_full = timeit("stem translate full", full_translate)
-t_km = timeit("_take_km_rows only", km_rows_only)
-t_gather = timeit("anchor+window gather only", window_gather_only)
+args = (grid, stem_map, pids)
+t_full = timeit("stem translate full", full_translate, args)
+t_km = timeit("_take_km_rows only", km_rows_only, args)
+t_gather = timeit("anchor+window gather only", window_gather_only, args)
 print(f"decode-only estimate: {t_full - t_gather:.2f} ms", flush=True)
 print("DONE", flush=True)
+
+
+def anchor_only(grid, stem_map, pids, r):
+    """Anchor/index prep WITHOUT the packed-table gather."""
+    kz = 5
+
+    def body(_, acc):
+        g = tp._take_km_rows(stem_map, grid.g_of_row + (acc * 0).astype(jnp.int32))
+        m2, K2 = g.shape
+        k2 = K2 // kz
+        gt = g.reshape(m2 * k2, kz).T
+        present = gt >= 0
+        any_p = jnp.any(present, axis=0)
+        gmin = jnp.min(jnp.where(present, gt, np.int32(2**31 - 1)), axis=0)
+        gmax = jnp.max(jnp.where(present, gt, -1), axis=0)
+        anchor = (gmin + gmax) // 2
+        size = grid.pid_cap * grid.main_cap
+        pid_r = jnp.repeat(pids, k2, total_repeat_length=m2 * k2)
+        base = jnp.where(any_p, pid_r * grid.main_cap + anchor, size)
+        return jnp.sum(base.astype(jnp.float32) * 1e-9)
+    return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
+
+
+t_anchor = timeit("anchor prep only (no gather)", anchor_only, args)
+print(f"pure win gather estimate: {t_gather - t_anchor:.2f} ms", flush=True)
+print("DONE2", flush=True)

@@ -25,3 +25,22 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture
+def fast_compile():
+    """Disable most XLA backend optimizations for this test: CPU compile
+    time of big programs drops ~3x and the semantics under test (shapes,
+    finiteness, loss decrease, metric equality) are unaffected.  Do NOT use
+    in golden-value tests."""
+    jax.config.update("jax_disable_most_optimizations", True)
+    yield
+    jax.config.update("jax_disable_most_optimizations", False)
+
+
+@pytest.fixture(scope="module")
+def fast_compile_module():
+    """Module-scoped variant for modules whose fixtures dominate compile."""
+    jax.config.update("jax_disable_most_optimizations", True)
+    yield
+    jax.config.update("jax_disable_most_optimizations", False)

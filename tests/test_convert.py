@@ -242,6 +242,8 @@ class TestReferencePthGolden:
         np.testing.assert_allclose(probe, golden_probe, rtol=2e-2, atol=1e-5,
                                    err_msg="stage-1 output drift (probe)")
 
+    @pytest.mark.slow  # strict-f32 variant of the golden above; the bf16
+    # default covers conversion regressions at a third of the compile
     def test_stage1_forward_golden_f32(self, monkeypatch):
         """Strict-parity golden: COMPUTE_DTYPE flipped to f32 (the documented
         parity mode, nn/sparse_ops.py:23).  Exact on a fixed backend (rerun

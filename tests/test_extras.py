@@ -31,7 +31,7 @@ def grid_level(rng, n=300, extent=40, batches=2):
 
 
 class TestResNet:
-    def test_classifier_forward(self, rng):
+    def test_classifier_forward(self, rng, fast_compile):
         lv = grid_level(rng)
         caps = [lv.cap] * 7
         topo = resnet.build_resnet_topology(lv, caps)
@@ -53,7 +53,7 @@ class TestResNet:
         except ValueError:
             pass
 
-    def test_resfieldnet_forward(self, rng):
+    def test_resfieldnet_forward(self, rng, fast_compile):
         """ResFieldNet: sinusoidal point-field blocks -> voxel pooling ->
         classifier (/root/reference/network/Mink.py:145-198)."""
         lv = grid_level(rng)
@@ -194,7 +194,7 @@ class TestMetricsExtras:
 
 
 class TestParityHarness:
-    def test_one_command_parity_smoke(self, rng, tmp_path):
+    def test_one_command_parity_smoke(self, rng, tmp_path, fast_compile):
         """tools/parity_eval.py end to end on synthetic fixtures: fabricated
         scenes -> decoded npy -> synthetic reference-FORMAT .pth -> convert ->
         full instance eval -> AP table.  The same command runs the real

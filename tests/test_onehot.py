@@ -119,6 +119,8 @@ class TestKernel:
 
 
 class TestTopologyAttach:
+    @pytest.mark.slow  # frozen-experimental feature (ARCHITECTURE.md): full
+    # interpret-mode UNet parity is the suite's 4th-costliest compile
     def test_attach_and_unet_parity(self):
         """A MinkUNet forward with plans attached equals the plain forward
         (main-topology path, tiny real pyramid)."""

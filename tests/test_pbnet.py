@@ -95,7 +95,9 @@ def synthetic_batch(rng, n_pts=900, pad=2048):
 
 
 @pytest.fixture(scope="module")
-def model_and_vars():
+def model_and_vars(fast_compile_module):
+    # fast_compile_module: this module's tests assert structure/finiteness,
+    # not golden values — XLA:CPU backend-opt time is pure overhead here
     rng = np.random.RandomState(7)
     batch, n = synthetic_batch(rng)
     # smallest family member: same stage-1/2/3 code paths with far less

@@ -74,7 +74,7 @@ class TestSchedule:
 
 
 class TestTrainStep:
-    def test_two_device_step_reduces_loss(self, rng, tmp_path):
+    def test_two_device_step_reduces_loss(self, rng, tmp_path, fast_compile):
         prepare_dataset(tmp_path, rng)
         cfg = mini_cfg(tmp_path)
         ds = Dataset(cfg)
@@ -153,7 +153,7 @@ class TestCheckpoint:
 
 
 class TestEngine:
-    def test_mini_training_run_with_eval(self, tmp_path, rng):
+    def test_mini_training_run_with_eval(self, tmp_path, rng, fast_compile):
         prepare_dataset(tmp_path, rng)
         cfg = mini_cfg(tmp_path, epochs=1, validation=False)
         state = engine.train(cfg, max_epochs=1, max_iters=2)
