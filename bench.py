@@ -12,8 +12,12 @@ weights predict chaotic semantics, which the class gate rejects — a trained
 checkpoint produces oracle-like structure), so the measured forward runs the
 clustering loop at its real round count and emits real clusters/proposals
 (asserted nonzero, overflow asserted zero).  All shapes are static, but the
-clustering fixpoint loop is content-dependent — which is exactly why the
-timed content must be realistic.
+clustering fixpoint loop is content-dependent.  Measured content
+sensitivity (perf/trained_cluster_r5.py): offsets LEARNED on this scene
+need 4-5 label-propagation rounds vs the oracle's 1 (+9-13 ms clustering,
+~+4% end to end); cluster count and band fit are unchanged.  The headline
+is therefore the oracle-content number; add ~9 ms for trained-offset
+content.
 
 Baseline: the reference publishes no throughput (SURVEY.md §6); we assume
 2.5 scenes/s for the full PBNet pipeline on an RTX 3090 (per-scene ~400 ms,

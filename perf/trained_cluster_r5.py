@@ -10,6 +10,7 @@ reports the propagation-round counts (ClusterResult.prop_rounds).
 
 Run from the repo root on the real TPU: python perf/trained_cluster_r5.py
 """
+import functools
 import sys
 import time
 
@@ -100,7 +101,7 @@ tx = optax.scale_by_adam()
 opt0 = tx.init(variables["params"])
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(4,))
 def train_n(params, stats, opt, b, steps):
     def one(carry, _):
         params, stats, opt = carry
@@ -193,12 +194,15 @@ cluster_time("cluster[oracle]", sem_o, offs_o)
 params, stats = variables["params"], variables["batch_stats"]
 opt = opt0
 total = 0
-for phase, steps in (("early", 40), ("late", 260)):
+for phase, reps in (("early", 1), ("late", 6)):
+    # repeat the CACHED 40-step scan instead of compiling/running one long
+    # scan (a single 260-step execution crashed the TPU worker once)
     t0 = time.time()
-    params, stats, opt, losses, gns = train_n(params, stats, opt, batch,
-                                              steps)
-    _ = float(losses[-1]) + float(gns[-1])
-    total += steps
+    for _ in range(reps):
+        params, stats, opt, losses, gns = train_n(params, stats, opt, batch,
+                                                  40)
+        _ = float(losses[-1]) + float(gns[-1])
+    total += reps * 40
     print(f"trained {total} steps ({time.time()-t0:.0f}s): "
           f"loss {float(losses[0]):.3f} -> {float(losses[-1]):.3f}",
           flush=True)

@@ -298,7 +298,7 @@ class TestGrids:
                 np.asarray(tp.conv_map(llv, llv, k)),
             )
 
-    def test_derived_pid_topology_matches_lookup(self, rng):
+    def test_derived_pid_topology_matches_lookup(self, rng, fast_compile):
         """build_pid_unet_topology (kernel maps derived from the main
         topology's maps) must equal the spatially-looked-up maps exactly,
         for every map of every level — the local-scene/ScoreNet fast path."""

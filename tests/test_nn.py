@@ -355,7 +355,7 @@ class TestWindowImg2col:
         return tp.level_from_coords(
             jnp.asarray(cpad), jnp.asarray(valid), cap, 1), n
 
-    def test_window_matches_scalar(self, rng):
+    def test_window_matches_scalar(self, rng, fast_compile):
         lv, n = self._sparse_level(rng)
         for k, kz in [(3, 3), (5, 5), (2, 2)]:
             if k == 2:
@@ -555,7 +555,7 @@ class TestDenseConv:
             assert np.isfinite(np.asarray(gx)).all(), mode
             assert np.isfinite(np.asarray(gw)).all(), mode
 
-    def test_unet_forward_matches_with_dense_levels(self, rng):
+    def test_unet_forward_matches_with_dense_levels(self, rng, fast_compile):
         """A full MinkUNet forward with the dense gate covering levels 1+
         must equal the all-sparse forward (f32)."""
         side = 10
