@@ -21,13 +21,13 @@ from bench import make_scene
 shapes = StaticShapes(
     point_cap=147_456,
     voxel_caps=(98_304, 45_056, 16_384, 6_144, 2_048),
-    cluster_cap=128,
-    local_point_cap=61_440,
+    cluster_cap=32,
+    local_point_cap=57_344,
     local_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
     score_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
-    instance_cap=128,
+    instance_cap=32,
     cluster_band=4_096,
-    fg_point_cap=61_440,
+    fg_point_cap=57_344,
     nn_exact_cap=1_024,
     grid_extent=(1, 256, 256, 160),
 )
