@@ -56,7 +56,11 @@ def _window_plan(kz, cin):
     group, m-major single-chunk reconstruction), the wider rows win big
     (64ch k3: 3.81 vs 7.23 ms at 45k voxels) — the chunk loop + selects of
     the partial-window path cost more than the extra row tile.  Wider rows
-    WITHOUT full coverage still lose (96ch w=2: 18.97 vs 7.89 ms)."""
+    WITHOUT full coverage still lose (96ch w=2: 18.97 vs 7.89 ms).
+    Re-measured r5 for the intermediate kz=5 cin=34 combo (the D_Unet stem,
+    170-lane 2-tile rows): full coverage w=5 11.9 ms vs w=3 21.6 / w=2 25.5
+    at 45k rows — the full-coverage exception holds there too
+    (perf/micro_kz5.py)."""
     if kz is None or kz <= 1:
         return None
     w = min(kz, max(1, 128 // max(cin, 1)))
