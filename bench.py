@@ -132,14 +132,19 @@ def main():
     # eval_throughput.py exercises the bucketed path end to end; the
     # supplementary phase below reports the worst-case (1,512,512,256)
     # extent alongside.
+    # Round-5 fit: measured pyramid counts on this scene are
+    # [92403, 39166, 10089, 2452, 544] (perf/micro_wide_r5.py), local_vox
+    # 41.5k, 14 clusters/proposals — caps pad each to the next 128-multiple
+    # with margin.  Local L1+ counts are content-derived and unmeasured, so
+    # those caps stay at their previous safe values.
     shapes = StaticShapes(
-        point_cap=147_456,
-        voxel_caps=(98_304, 45_056, 16_384, 6_144, 2_048),
-        cluster_cap=32,
+        point_cap=140_032,
+        voxel_caps=(92_416, 39_424, 10_240, 4_096, 2_048),
+        cluster_cap=16,
         local_point_cap=57_344,
-        local_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
-        score_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
-        instance_cap=32,
+        local_voxel_caps=(41_984, 22_528, 9_216, 4_608, 2_048),
+        score_voxel_caps=(41_984, 22_528, 9_216, 4_608, 2_048),
+        instance_cap=16,
         cluster_band=4_096,
         fg_point_cap=57_344,
         nn_exact_cap=1_024,
