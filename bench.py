@@ -133,24 +133,26 @@ def main():
     # supplementary phase below reports the worst-case (1,512,512,256)
     # extent alongside.
     # Round-5 fit: measured pyramid counts on this scene are
-    # [92403, 39166, 10089, 2452, 544] (perf/micro_wide_r5.py), local_vox
-    # 41.5k, 14 clusters/proposals — caps pad each to the next 128-multiple
-    # with margin.  Local L1+ counts are content-derived and unmeasured, so
-    # those caps stay at their previous safe values.
+    # [92403, 39166, 10089, 2452, 544] main / [41108, 20002, 5355, 1264,
+    # 281] local-object (perf/micro_wide_r5.py + host recount), fg 56,000
+    # points, 14 clusters/proposals — caps pad each to the next 128-multiple
+    # with margin (the clustering-derived local sets run ~1% above the
+    # object-voxel recount, hence the looser local margins).
     shapes = StaticShapes(
         point_cap=140_032,
         voxel_caps=(92_416, 39_424, 10_240, 4_096, 2_048),
         cluster_cap=16,
-        local_point_cap=57_344,
-        local_voxel_caps=(41_984, 22_528, 9_216, 4_608, 2_048),
-        score_voxel_caps=(41_984, 22_528, 9_216, 4_608, 2_048),
+        local_point_cap=56_320,
+        local_voxel_caps=(41_984, 20_992, 5_888, 1_536, 512),
+        score_voxel_caps=(41_984, 20_992, 5_888, 1_536, 512),
         instance_cap=16,
         cluster_band=4_096,
-        fg_point_cap=57_344,
+        fg_point_cap=56_320,
         nn_exact_cap=1_024,
-        # tight extent for a single ~4.5m scene: smaller dense-grid tables
-        # gather ~2-3x faster than the 1GB worst-case table
-        grid_extent=(1, 256, 256, 160),
+        # tight extent for a single ~4.5m scene (voxel max [225,225,127]):
+        # smaller dense-grid tables gather ~2-3x faster than the 1GB
+        # worst-case table, and the xy-stack build scales with cells
+        grid_extent=(1, 240, 240, 136),
     )
     rng = np.random.RandomState(0)
     xyz, sem_gt, ins_gt, obj_centers = make_scene(rng)
