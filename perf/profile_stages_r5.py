@@ -22,18 +22,19 @@ from pbnet_tpu.models.pbnet import PBNet
 
 from bench import make_scene
 
+# kept in sync with bench.py's round-5 fitted shapes (2.06x configuration)
 shapes = StaticShapes(
-    point_cap=147_456,
-    voxel_caps=(98_304, 45_056, 16_384, 6_144, 2_048),
-    cluster_cap=32,
-    local_point_cap=57_344,
-    local_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
-    score_voxel_caps=(45_056, 22_528, 9_216, 4_608, 2_048),
-    instance_cap=32,
+    point_cap=140_032,
+    voxel_caps=(92_416, 39_424, 10_240, 4_096, 2_048),
+    cluster_cap=16,
+    local_point_cap=56_320,
+    local_voxel_caps=(41_984, 20_992, 5_888, 1_536, 512),
+    score_voxel_caps=(41_984, 20_992, 5_888, 1_536, 512),
+    instance_cap=16,
     cluster_band=4_096,
-    fg_point_cap=57_344,
+    fg_point_cap=56_320,
     nn_exact_cap=1_024,
-    grid_extent=(1, 256, 256, 160),
+    grid_extent=(1, 240, 240, 136),
 )
 rng = np.random.RandomState(0)
 xyz, sem_gt, ins_gt, obj_centers = make_scene(rng)
